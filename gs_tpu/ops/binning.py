@@ -1,0 +1,93 @@
+"""Tile binning: duplicate Gaussians over their tile span and group by tile.
+
+TPU-native replacement for the CUDA rasterizer's binning stage (inclusive-scan
+of touched-tile counts -> (tile|depth) key expansion -> global radix sort ->
+per-tile ranges; ref: SURVEY.md §2.3-N1). Instead of a 64-bit radix sort we:
+
+1. argsort all N Gaussians by view depth once (invisible pushed to +inf),
+2. expand each Gaussian to its touched tiles with ``jnp.repeat`` at a static
+   duplicate capacity (depth order is preserved by the expansion),
+3. one stable int32 sort by tile id — stability keeps entries depth-ordered
+   within each tile, which is exactly the (tile, depth) lexicographic order
+   the reference's radix sort produces,
+4. per-tile [start, end) ranges via searchsorted.
+
+All shapes are static; overflow of the duplicate capacity is reported so the
+caller can re-jit with a bigger capacity.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.project import Projected, tile_rect
+
+
+class TileBins(NamedTuple):
+    entry_gid: jnp.ndarray    # [D] original Gaussian index per sorted entry
+    entry_valid: jnp.ndarray  # [D] bool
+    tile_start: jnp.ndarray   # [T] int32
+    tile_end: jnp.ndarray     # [T] int32
+    num_duplicates: jnp.ndarray  # [] int32 — actual duplicates (pre-clamp)
+    overflow: jnp.ndarray     # [] bool — true if capacity was exceeded
+
+
+def tile_grid(width: int, height: int, tile_x: int, tile_y: int):
+    gx = -(-width // tile_x)
+    gy = -(-height // tile_y)
+    return gx, gy
+
+
+def bin_gaussians(proj: Projected, width: int, height: int,
+                  tile_x: int, tile_y: int, capacity: int) -> TileBins:
+    gx, gy = tile_grid(width, height, tile_x, tile_y)
+    num_tiles = gx * gy
+    n = proj.depth.shape[0]
+
+    # 1. global depth order (stable; invisible last)
+    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key)                       # [N] stable
+    mean2d_s = jnp.take(proj.mean2d, order, axis=0)
+    radius_s = jnp.take(proj.radius, order, axis=0)
+    visible_s = jnp.take(proj.visible, order, axis=0)
+
+    # 2. tile spans in depth order
+    rx0, ry0, rx1, ry1 = tile_rect(mean2d_s, radius_s, gx, gy, tile_x, tile_y)
+    span_w = rx1 - rx0
+    span_h = ry1 - ry0
+    counts = jnp.where(visible_s, span_w * span_h, 0)
+    total = jnp.sum(counts)
+
+    # expansion: entry e belongs to depth-sorted gaussian rep[e]
+    rep = jnp.repeat(jnp.arange(n, dtype=jnp.int32), counts,
+                     total_repeat_length=capacity)
+    offsets = jnp.cumsum(counts) - counts                # exclusive
+    eidx = jnp.arange(capacity, dtype=jnp.int32)
+    local = eidx - offsets[rep]
+    sw = jnp.maximum(span_w[rep], 1)
+    t_col = rx0[rep] + local % sw
+    t_row = ry0[rep] + local // sw
+    tile_id = t_row * gx + t_col
+    valid = eidx < total
+    tile_key = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
+
+    # 3. stable sort by tile — entries stay depth-ordered within a tile
+    gid = order[rep].astype(jnp.int32)
+    sorted_key, sorted_gid = jax.lax.sort((tile_key, gid), dimension=0,
+                                          is_stable=True, num_keys=1)
+
+    # 4. per-tile ranges
+    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+    start = jnp.searchsorted(sorted_key, tiles, side='left').astype(jnp.int32)
+    end = jnp.searchsorted(sorted_key, tiles + 1, side='left').astype(jnp.int32)
+
+    return TileBins(
+        entry_gid=sorted_gid,
+        entry_valid=sorted_key < num_tiles,
+        tile_start=start,
+        tile_end=end,
+        num_duplicates=total.astype(jnp.int32),
+        overflow=total > capacity,
+    )

@@ -1,0 +1,88 @@
+"""Render facade — the TPU equivalent of ``gaussian_renderer.render()``.
+
+Mirrors the reference facade's contract (ref: gaussian_renderer/__init__.py:18-121):
+takes a camera, the Gaussian parameters, pipeline options, and a background
+color; returns a dict with ``render`` [3,H,W], ``depth`` (inverse depth,
+[1,H,W]), ``radii`` [N], ``visibility_filter`` [N] — plus ``final_T`` and the
+screen-space means gradient tap used for densification.
+
+The ``means2d_grad_scale`` trick: the reference exposes dL/d(means2D) through a
+zero tensor in NDC-half-resolution units (ref: gaussian_renderer/__init__.py:26-30,
+scene/gaussian_model.py:431-433). Here the caller differentiates w.r.t.
+``proj.mean2d`` (pixels) and rescales by (0.5*W, 0.5*H) to reproduce the
+reference's densification statistics.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .core.camera import Camera
+from .core.gaussians import GaussianParams
+from .core.project import preprocess, Projected
+from .ops.binning import bin_gaussians, TileBins
+from .ops.rasterize_jnp import rasterize_binned, rasterize_depthwise
+
+TILE_X = 16
+TILE_Y = 16
+
+
+class RenderOutput(NamedTuple):
+    image: jnp.ndarray        # [3, H, W]
+    invdepth: jnp.ndarray     # [1, H, W]
+    final_T: jnp.ndarray      # [H, W]
+    radii: jnp.ndarray        # [N] int32
+    visibility: jnp.ndarray   # [N] bool
+    num_duplicates: jnp.ndarray  # [] int32 (binned backends)
+    overflow: jnp.ndarray     # [] bool
+
+
+def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
+           active_sh_degree: int,
+           scaling_modifier: float = 1.0,
+           antialiasing: bool = False,
+           alive: Optional[jnp.ndarray] = None,
+           override_color: Optional[jnp.ndarray] = None,
+           backend: str = "binned",
+           dup_capacity: int = 1 << 18,
+           max_per_tile: int = 1024,
+           chunk: int = 64) -> RenderOutput:
+    """Render one view. Differentiable w.r.t. ``params`` (and bg)."""
+    proj = preprocess(params, camera, active_sh_degree=active_sh_degree,
+                      scaling_modifier=scaling_modifier,
+                      antialiasing=antialiasing, alive=alive,
+                      override_color=override_color)
+    return render_projected(proj, camera.width, camera.height, bg,
+                            backend=backend, dup_capacity=dup_capacity,
+                            max_per_tile=max_per_tile, chunk=chunk)
+
+
+def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
+                     *, backend: str = "binned", dup_capacity: int = 1 << 18,
+                     max_per_tile: int = 1024, chunk: int = 64) -> RenderOutput:
+    zero_i = jnp.int32(0)
+    if backend == "depthwise":
+        image, invd, finalT = rasterize_depthwise(
+            proj, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y, chunk=chunk)
+        nd, ov = zero_i, jnp.bool_(False)
+    elif backend == "binned":
+        bins = bin_gaussians(proj, width, height, TILE_X, TILE_Y, dup_capacity)
+        image, invd, finalT = rasterize_binned(
+            proj, bins, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y,
+            max_per_tile=max_per_tile, chunk=chunk)
+        nd, ov = bins.num_duplicates, bins.overflow
+        max_len = jnp.max(bins.tile_end - bins.tile_start)
+        ov = ov | (max_len > max_per_tile)
+    elif backend == "pallas":
+        from .ops.rasterize_pallas import rasterize_pallas
+        bins = bin_gaussians(proj, width, height, TILE_X, TILE_Y, dup_capacity)
+        image, invd, finalT = rasterize_pallas(
+            proj, bins, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y)
+        nd, ov = bins.num_duplicates, bins.overflow
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    return RenderOutput(image=image, invdepth=invd, final_T=finalT,
+                        radii=proj.radius, visibility=proj.visible,
+                        num_duplicates=nd, overflow=ov)
