@@ -1,0 +1,109 @@
+"""Configuration dataclasses — same knob names and defaults as the reference
+flag system (ref: arguments/__init__.py:47-93 plus the upstream-intended
+depth/exposure knobs the half-merged snapshot dropped, per SURVEY.md §0.1).
+
+Persisted as JSON (not an eval'd argparse repr); ``save_cfg_args`` also emits
+a reference-compatible ``cfg_args`` Namespace-repr file so downstream tools
+that read it keep working.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ModelConfig:
+    # ref: arguments/__init__.py:47-63 (ModelParams)
+    sh_degree: int = 3
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    depths: str = ""
+    resolution: int = -1
+    white_background: bool = False
+    train_test_exp: bool = False
+    data_device: str = "tpu"
+    eval: bool = False
+    live: bool = False           # the fork's SLAM addition (ref: arguments/__init__.py:57)
+
+
+@dataclass
+class PipelineConfig:
+    # ref: arguments/__init__.py:65-71 (PipelineParams)
+    convert_SHs_python: bool = False
+    compute_cov3D_python: bool = False
+    debug: bool = False
+    antialiasing: bool = False
+
+
+@dataclass
+class OptimizationConfig:
+    # ref: arguments/__init__.py:73-93 (OptimizationParams) + upstream
+    # exposure/depth knobs (README.md:148-218)
+    iterations: int = 30000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    exposure_lr_init: float = 0.01
+    exposure_lr_final: float = 0.001
+    exposure_lr_delay_steps: int = 0
+    exposure_lr_delay_mult: float = 0.0
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15000
+    densify_grad_threshold: float = 0.0002
+    depth_l1_weight_init: float = 1.0
+    depth_l1_weight_final: float = 0.01
+    random_background: bool = False
+    optimizer_type: str = "default"   # or "sparse_adam"
+
+
+@dataclass
+class RasterConfig:
+    """TPU-specific rasterizer knobs (no reference counterpart)."""
+    backend: str = "binned"          # depthwise | binned | pallas
+    dup_capacity: int = 1 << 20
+    max_per_tile: int = 4096
+    chunk: int = 128
+
+
+def asdict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def from_dict(cls, d: dict):
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in d.items() if k in names})
+
+
+def save_config(model_path: str, model: ModelConfig, pipe: PipelineConfig,
+                opt: OptimizationConfig):
+    os.makedirs(model_path, exist_ok=True)
+    with open(os.path.join(model_path, "config.json"), "w") as f:
+        json.dump({"model": asdict(model), "pipeline": asdict(pipe),
+                   "optimization": asdict(opt)}, f, indent=2)
+    # reference-compatible cfg_args (ref: train.py:196-197)
+    ns_fields = dict(asdict(model))
+    ns_fields.pop("depths", None)
+    body = ", ".join(f"{k}={v!r}" for k, v in sorted(ns_fields.items()))
+    with open(os.path.join(model_path, "cfg_args"), "w") as f:
+        f.write(f"Namespace({body})")
+
+
+def load_config(model_path: str):
+    with open(os.path.join(model_path, "config.json")) as f:
+        d = json.load(f)
+    return (from_dict(ModelConfig, d["model"]),
+            from_dict(PipelineConfig, d["pipeline"]),
+            from_dict(OptimizationConfig, d["optimization"]))

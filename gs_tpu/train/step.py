@@ -1,0 +1,149 @@
+"""The jitted training step — loss, gradients, Adam, densification stats.
+
+One compiled function covers the whole per-iteration hot path of the
+reference training loop (ref: train.py:87-179): render, L1 + SSIM
+(+ optional depth-L1) loss, backward, densification-stat accumulation, LR
+schedule, (sparse-)Adam update, exposure update. Camera selection is a traced
+index into a stacked CameraBatch so the random per-iteration pick
+(ref: train.py:96-98) does not recompile.
+
+The SH degree ramp (+1 per 1000 iters, ref: train.py:91-93) is implemented by
+masking the inactive coefficients to zero under a traced degree, which is
+mathematically identical to evaluating the truncated basis (the expansion is
+linear in the coefficients) and keeps the jit static.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, OptimizationConfig, PipelineConfig, RasterConfig
+from ..core.camera import CameraBatch
+from ..core.gaussians import GaussianParams
+from ..core.project import preprocess
+from ..models.gaussian_model import (TrainState, adam_update,
+                                     add_densification_stats, exposure_update,
+                                     group_lrs)
+from ..ops.losses import l1_loss
+from ..ops.ssim import ssim
+from ..render import render_projected
+from ..utils.schedules import expon_lr
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    l1: jnp.ndarray
+    ssim: jnp.ndarray
+    depth_l1: jnp.ndarray
+    num_duplicates: jnp.ndarray
+    overflow: jnp.ndarray
+    n_visible: jnp.ndarray
+
+
+def mask_sh_rest(params: GaussianParams, active_sh_degree) -> GaussianParams:
+    """Zero coefficients above the active degree (traced-degree SH ramp)."""
+    rest_dim = params.sh_rest.shape[1]
+    k = jnp.arange(1, rest_dim + 1)  # index in the full basis (DC is 0)
+    keep = k < (active_sh_degree + 1) ** 2
+    mask = keep.astype(params.sh_rest.dtype)[None, :, None]
+    return params._replace(sh_rest=params.sh_rest * mask)
+
+
+def apply_exposure(image: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
+    """image' = E[:, :3]^T-mixed colors + offset (ref: gaussian_renderer/__init__.py:111-114)."""
+    return (jnp.einsum('chw,ck->khw', image, exposure[:3, :3])
+            + exposure[:3, 3, None, None])
+
+
+def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
+                    pipe: PipelineConfig, raster: RasterConfig,
+                    cams: CameraBatch, spatial_lr_scale: float,
+                    max_sh_degree: int):
+    width, height = cams.width, cams.height
+    use_sparse = opt.optimizer_type == "sparse_adam"
+    use_exposure = model_cfg.train_test_exp
+    bg_static = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
+
+    def loss_fn(params, tap, exposure_row, cam, gt_image, alpha_mask,
+                invdepth_gt, depth_mask, depth_ok, active_sh_degree,
+                iteration, bg, state_alive):
+        masked = mask_sh_rest(params, active_sh_degree)
+        proj = preprocess(masked, cam, active_sh_degree=max_sh_degree,
+                          antialiasing=pipe.antialiasing, alive=state_alive)
+        proj = proj._replace(mean2d=proj.mean2d + tap)
+        out = render_projected(proj, width, height, bg,
+                               backend=raster.backend,
+                               dup_capacity=raster.dup_capacity,
+                               max_per_tile=raster.max_per_tile,
+                               chunk=raster.chunk)
+        image = out.image
+        if use_exposure:
+            image = apply_exposure(image, exposure_row)
+        if alpha_mask is not None:
+            image = image * alpha_mask
+        ll1 = l1_loss(image, gt_image)
+        ssim_v = ssim(image, gt_image)
+        loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - ssim_v)
+
+        # depth regularization (ref: train.py:124-135)
+        dw = expon_lr(iteration, opt.depth_l1_weight_init,
+                      opt.depth_l1_weight_final, max_steps=opt.iterations)
+        if invdepth_gt is not None:
+            dl1_pure = jnp.mean(jnp.abs((out.invdepth[0] - invdepth_gt) * depth_mask))
+            dl1 = dw * dl1_pure * depth_ok
+            loss = loss + dl1
+        else:
+            dl1 = jnp.float32(0.0)
+        aux = (out, ll1, ssim_v, dl1)
+        return loss, aux
+
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+
+    @jax.jit
+    def train_step(state: TrainState, cam_idx, gt_image, alpha_mask,
+                   invdepth_gt, depth_mask, depth_ok, iteration, key):
+        cam = cams.select(cam_idx)
+        active_sh_degree = jnp.minimum(iteration // 1000, max_sh_degree)
+
+        if opt.random_background:
+            bg = jax.random.uniform(key, (3,))
+        else:
+            bg = bg_static
+
+        tap = jnp.zeros_like(state.params.xyz[:, :2])
+        exposure_row = state.exposure[cam_idx]
+        (pgrads, tap_grad, exp_grad), aux = grad_fn(
+            state.params, tap, exposure_row, cam, gt_image, alpha_mask,
+            invdepth_gt, depth_mask, depth_ok, active_sh_degree,
+            iteration, bg, state.alive)
+        out, ll1, ssim_v, dl1 = aux
+
+        # densification statistics (only while densify is active,
+        # ref: train.py:157-160)
+        in_densify = iteration < opt.densify_until_iter
+        state = jax.lax.cond(
+            in_densify,
+            lambda s: add_densification_stats(s, tap_grad, out.visibility,
+                                              width, height, out.radii),
+            lambda s: s,
+            state)
+
+        lrs = group_lrs(opt, iteration, spatial_lr_scale)
+        visible = out.visibility if use_sparse else None
+        state = adam_update(state, pgrads, lrs, visible)
+
+        if use_exposure:
+            full_exp_grad = jnp.zeros_like(state.exposure).at[cam_idx].set(exp_grad)
+            state = exposure_update(state, full_exp_grad, opt, iteration)
+
+        loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - ssim_v) + dl1
+        metrics = StepMetrics(loss=loss, l1=ll1, ssim=ssim_v, depth_l1=dl1,
+                              num_duplicates=out.num_duplicates,
+                              overflow=out.overflow,
+                              n_visible=jnp.sum(out.visibility))
+        return state, metrics
+
+    return train_step
