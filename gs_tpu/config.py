@@ -76,6 +76,7 @@ class RasterConfig:
     dup_capacity: int = 1 << 20
     max_per_tile: int = 4096
     chunk: int = 128
+    tile_block: int = 0              # 0 = all tiles at once
 
 
 def asdict(cfg) -> dict:

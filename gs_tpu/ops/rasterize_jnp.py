@@ -101,47 +101,72 @@ def rasterize_depthwise(proj: Projected, width: int, height: int,
 
 def rasterize_binned(proj: Projected, bins: TileBins, width: int, height: int,
                      bg: jnp.ndarray, *, tile_x: int = 16, tile_y: int = 16,
-                     max_per_tile: int = 1024, chunk: int = 64):
-    """Tile-binned renderer over the sorted duplicated entry list."""
+                     max_per_tile: int = 1024, chunk: int = 64,
+                     tile_block: int = 0):
+    """Tile-binned renderer over the sorted duplicated entry list.
+
+    ``tile_block`` > 0 processes tiles in sequential blocks of that size
+    (bounds the [tiles, chunk, pixels] working set at high resolutions).
+    """
     gx, gy = tile_grid(width, height, tile_x, tile_y)
     T = gx * gy
     P = tile_x * tile_y
     packets = pack_projected(proj)                              # [N, 10]
     cap = bins.entry_gid.shape[0]
-
-    # [T, K] entry index table (clamped gather; invalid masked)
     K = max_per_tile
-    pos = bins.tile_start[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
-    valid = pos < bins.tile_end[:, None]
-    gid = jnp.where(valid, bins.entry_gid[jnp.clip(pos, 0, cap - 1)], 0)
+    n_chunks = -(-K // chunk)
 
-    # per-tile pixel coords [T, P]
-    t_ids = jnp.arange(T, dtype=jnp.int32)
-    tcol = (t_ids % gx).astype(jnp.float32)
-    trow = (t_ids // gx).astype(jnp.float32)
+    if tile_block <= 0 or tile_block > T:
+        tile_block = T
+    nb = -(-T // tile_block)
+    T_pad = nb * tile_block
+
+    def pad_tiles(x):
+        return jnp.pad(x, (0, T_pad - T))
+
+    start_b = pad_tiles(bins.tile_start).reshape(nb, tile_block)
+    end_b = pad_tiles(bins.tile_end).reshape(nb, tile_block)
+    tid_b = pad_tiles(jnp.arange(T, dtype=jnp.int32)).reshape(nb, tile_block)
+
     lx = jnp.arange(P, dtype=jnp.float32) % tile_x
     ly = jnp.arange(P, dtype=jnp.float32) // tile_x
-    px = tcol[:, None] * tile_x + lx[None, :]
-    py = trow[:, None] * tile_y + ly[None, :]
-
-    n_chunks = -(-K // chunk)
-    gid_c = gid.reshape(T, n_chunks, chunk).transpose(1, 0, 2)      # [NC, T, CS]
-    valid_c = valid.reshape(T, n_chunks, chunk).transpose(1, 0, 2)
-
     vm_composite = jax.vmap(composite_chunk)
 
-    def step(carry, inp):
-        color, invd, U, Tmin = carry
-        g, v = inp                                              # [T, CS]
-        pk = packets[g]                                         # [T, CS, 10]
-        alpha = splat_alpha(pk, px, py)                         # [T, CS, P]
-        alpha = jnp.where(v[:, :, None], alpha, 0.0)
-        dc, dinv, U, Tmin = vm_composite(alpha, pk[:, :, 6:9], pk[:, :, 9], U, Tmin)
-        return (color + dc, invd + dinv, U, Tmin), None
+    def render_block(blk):
+        start, end, t_ids = blk                                 # [TB]
+        pos = start[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+        valid = pos < end[:, None]
+        gid = jnp.where(valid, bins.entry_gid[jnp.clip(pos, 0, cap - 1)], 0)
+        px = (t_ids % gx).astype(jnp.float32)[:, None] * tile_x + lx[None, :]
+        py = (t_ids // gx).astype(jnp.float32)[:, None] * tile_y + ly[None, :]
 
-    init = (jnp.zeros((T, P, 3)), jnp.zeros((T, P)), jnp.ones((T, P)), jnp.ones((T, P)))
-    (color, invd, _, Tmin), _ = jax.lax.scan(
-        jax.checkpoint(step), init, (gid_c, valid_c))
+        gid_c = gid.reshape(-1, n_chunks, chunk).transpose(1, 0, 2)   # [NC, TB, CS]
+        valid_c = valid.reshape(-1, n_chunks, chunk).transpose(1, 0, 2)
+
+        def step(carry, inp):
+            color, invd, U, Tmin = carry
+            g, v = inp                                          # [TB, CS]
+            pk = packets[g]                                     # [TB, CS, 10]
+            alpha = splat_alpha(pk, px, py)                     # [TB, CS, P]
+            alpha = jnp.where(v[:, :, None], alpha, 0.0)
+            dc, dinv, U, Tmin = vm_composite(alpha, pk[:, :, 6:9], pk[:, :, 9],
+                                             U, Tmin)
+            return (color + dc, invd + dinv, U, Tmin), None
+
+        tb = start.shape[0]
+        init = (jnp.zeros((tb, P, 3)), jnp.zeros((tb, P)),
+                jnp.ones((tb, P)), jnp.ones((tb, P)))
+        (color, invd, _, Tmin), _ = jax.lax.scan(
+            jax.checkpoint(step), init, (gid_c, valid_c))
+        return color, invd, Tmin
+
+    if nb == 1:
+        color, invd, Tmin = render_block((start_b[0], end_b[0], tid_b[0]))
+    else:
+        color, invd, Tmin = jax.lax.map(render_block, (start_b, end_b, tid_b))
+        color = color.reshape(T_pad, P, 3)[:T]
+        invd = invd.reshape(T_pad, P)[:T]
+        Tmin = Tmin.reshape(T_pad, P)[:T]
 
     img = color + Tmin[:, :, None] * bg[None, None, :]
 

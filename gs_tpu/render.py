@@ -48,7 +48,8 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
            backend: str = "binned",
            dup_capacity: int = 1 << 18,
            max_per_tile: int = 1024,
-           chunk: int = 64) -> RenderOutput:
+           chunk: int = 64,
+           tile_block: int = 0) -> RenderOutput:
     """Render one view. Differentiable w.r.t. ``params`` (and bg)."""
     proj = preprocess(params, camera, active_sh_degree=active_sh_degree,
                       scaling_modifier=scaling_modifier,
@@ -56,12 +57,14 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
                       override_color=override_color)
     return render_projected(proj, camera.width, camera.height, bg,
                             backend=backend, dup_capacity=dup_capacity,
-                            max_per_tile=max_per_tile, chunk=chunk)
+                            max_per_tile=max_per_tile, chunk=chunk,
+                            tile_block=tile_block)
 
 
 def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
                      *, backend: str = "binned", dup_capacity: int = 1 << 18,
-                     max_per_tile: int = 1024, chunk: int = 64) -> RenderOutput:
+                     max_per_tile: int = 1024, chunk: int = 64,
+                     tile_block: int = 0) -> RenderOutput:
     zero_i = jnp.int32(0)
     if backend == "depthwise":
         image, invd, finalT = rasterize_depthwise(
@@ -71,7 +74,7 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
         bins = bin_gaussians(proj, width, height, TILE_X, TILE_Y, dup_capacity)
         image, invd, finalT = rasterize_binned(
             proj, bins, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y,
-            max_per_tile=max_per_tile, chunk=chunk)
+            max_per_tile=max_per_tile, chunk=chunk, tile_block=tile_block)
         nd, ov = bins.num_duplicates, bins.overflow
         max_len = jnp.max(bins.tile_end - bins.tile_start)
         ov = ov | (max_len > max_per_tile)

@@ -78,7 +78,8 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                backend=raster.backend,
                                dup_capacity=raster.dup_capacity,
                                max_per_tile=raster.max_per_tile,
-                               chunk=raster.chunk)
+                               chunk=raster.chunk,
+                               tile_block=raster.tile_block)
         image = out.image
         if use_exposure:
             image = apply_exposure(image, exposure_row)
