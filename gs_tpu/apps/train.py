@@ -1,0 +1,153 @@
+"""Offline training CLI — TPU equivalent of the reference ``train.py``.
+
+Usage: ``python -m gs_tpu.apps.train -s <dataset> [-m <model_dir>] [...]``
+
+Reproduces the reference entry point's behavior (ref: train.py:43-273):
+dataset load, 30k-iteration schedule, densify/prune, periodic test PSNR
+reports, PLY saves at --save_iterations, checkpoints at
+--checkpoint_iterations, resume via --start_checkpoint, TensorBoard scalars,
+and the network-viewer socket (--ip/--port, drained between iterations).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+import uuid
+
+import numpy as np
+
+from ..config import (ModelConfig, OptimizationConfig, PipelineConfig,
+                      RasterConfig, save_config)
+from ..data.scene import Scene
+from ..train.checkpoint import load_checkpoint, save_checkpoint
+from ..train.loop import Trainer
+from .args import extract_dataclass, make_parser
+
+
+def prepare_output_dir(model_cfg: ModelConfig) -> str:
+    """ref: train.py:185-205 (prepare_output_and_logger)."""
+    path = model_cfg.model_path
+    if not path:
+        unique = os.getenv("OAR_JOB_ID") or str(uuid.uuid4())
+        path = os.path.join("./output/", unique[:10])
+    print(f"Output folder: {path}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def main(argv=None):
+    parser = make_parser("Training script parameters")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--disable_viewer", action="store_true")
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    model_cfg = extract_dataclass(ModelConfig, args)
+    opt = extract_dataclass(OptimizationConfig, args)
+    pipe = extract_dataclass(PipelineConfig, args)
+    raster = extract_dataclass(RasterConfig, args)
+    args.save_iterations.append(opt.iterations)
+
+    model_cfg.model_path = prepare_output_dir(model_cfg)
+    save_config(model_cfg.model_path, model_cfg, pipe, opt)
+
+    tb_writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        tb_writer = SummaryWriter(model_cfg.model_path)
+    except Exception:
+        print("Tensorboard not available: not logging progress")
+
+    print(f"Optimizing {model_cfg.model_path}")
+    scene = Scene(model_cfg.source_path, model_cfg.model_path,
+                  images=model_cfg.images, depths=model_cfg.depths,
+                  resolution=model_cfg.resolution,
+                  white_background=model_cfg.white_background,
+                  eval_split=model_cfg.eval,
+                  train_test_exp=model_cfg.train_test_exp)
+
+    start_state, start_iter = None, 0
+    if args.start_checkpoint:
+        start_state, start_iter, slrs = load_checkpoint(args.start_checkpoint)
+        print(f"Resumed from {args.start_checkpoint} at iteration {start_iter}")
+
+    trainer = Trainer(
+        scene.get_train_cameras(), scene.point_cloud,
+        spatial_lr_scale=scene.cameras_extent,
+        model_cfg=model_cfg, opt=opt, pipe=pipe, raster=raster,
+        test_cams=scene.get_test_cameras(),
+        start_state=start_state, start_iteration=start_iter, seed=args.seed)
+
+    viewer = None
+    if not args.disable_viewer:
+        try:
+            from ..viewer.server import ViewerServer
+            viewer = ViewerServer(args.ip, args.port, trainer=trainer,
+                                  source_path=model_cfg.source_path,
+                                  pipe=pipe)
+            print(f"GUI server started at {args.ip}:{args.port}")
+        except Exception as e:  # port in use etc. — train anyway
+            print(f"Viewer server unavailable: {e}")
+
+    save_at = set(args.save_iterations)
+    ckpt_at = set(args.checkpoint_iterations)
+    t_start = time.perf_counter()
+    last_log = [t_start, start_iter]
+
+    def on_step(i, metrics, tr):
+        if viewer is not None:
+            viewer.poll()
+        now = time.perf_counter()
+        if tb_writer is not None:
+            tb_writer.add_scalar("train_loss_patches/total_loss",
+                                 float(metrics.loss), i)
+            tb_writer.add_scalar("train_loss_patches/l1_loss",
+                                 float(metrics.l1), i)
+            tb_writer.add_scalar("total_points", int(tr.state.num_alive), i)
+        if not args.quiet and i % 100 == 0:
+            its = (i - last_log[1]) / max(now - last_log[0], 1e-9)
+            last_log[0], last_log[1] = now, i
+            print(f"[{i}/{opt.iterations}] loss={tr.ema_loss:.5f} "
+                  f"pts={int(tr.state.num_alive)} {its:.2f} it/s",
+                  flush=True)
+        if i in save_at:
+            print(f"\n[ITER {i}] Saving Gaussians")
+            scene.save(i, tr.state.params, np.asarray(tr.state.alive),
+                       exposure=tr.state.exposure
+                       if model_cfg.train_test_exp else None)
+        if i in ckpt_at:
+            print(f"\n[ITER {i}] Saving Checkpoint")
+            save_checkpoint(os.path.join(model_cfg.model_path, f"chkpnt{i}.pth"),
+                            tr.state, i, tr.spatial_lr_scale)
+
+    def on_test(i, report, tr):
+        for split, r in report.items():
+            if not r:
+                continue
+            print(f"\n[ITER {i}] Evaluating {split}: L1 {r['l1']:.4f} "
+                  f"PSNR {r['psnr']:.2f}")
+            if tb_writer is not None:
+                tb_writer.add_scalar(f"{split}/loss_viewpoint - l1_loss",
+                                     r["l1"], i)
+                tb_writer.add_scalar(f"{split}/loss_viewpoint - psnr",
+                                     r["psnr"], i)
+
+    elapsed = trainer.train(test_iterations=set(args.test_iterations),
+                            on_step=on_step, on_test=on_test, log_every=1)
+    print(f"\nTraining complete ({elapsed:.1f}s).")
+    if viewer is not None:
+        viewer.close()
+
+
+if __name__ == "__main__":
+    main()

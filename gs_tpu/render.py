@@ -36,6 +36,7 @@ class RenderOutput(NamedTuple):
     radii: jnp.ndarray        # [N] int32
     visibility: jnp.ndarray   # [N] bool
     num_duplicates: jnp.ndarray  # [] int32 (binned backends)
+    max_tile_len: jnp.ndarray    # [] int32 longest per-tile list
     overflow: jnp.ndarray     # [] bool
 
 
@@ -69,23 +70,26 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
     if backend == "depthwise":
         image, invd, finalT = rasterize_depthwise(
             proj, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y, chunk=chunk)
-        nd, ov = zero_i, jnp.bool_(False)
+        nd, ml, ov = zero_i, zero_i, jnp.bool_(False)
     elif backend == "binned":
         bins = bin_gaussians(proj, width, height, TILE_X, TILE_Y, dup_capacity)
         image, invd, finalT = rasterize_binned(
             proj, bins, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y,
             max_per_tile=max_per_tile, chunk=chunk, tile_block=tile_block)
-        nd, ov = bins.num_duplicates, bins.overflow
-        max_len = jnp.max(bins.tile_end - bins.tile_start)
-        ov = ov | (max_len > max_per_tile)
+        nd = bins.num_duplicates
+        ml = jnp.max(bins.tile_end - bins.tile_start)
+        ov = bins.overflow | (ml > max_per_tile)
     elif backend == "pallas":
         from .ops.rasterize_pallas import rasterize_pallas
         bins = bin_gaussians(proj, width, height, TILE_X, TILE_Y, dup_capacity)
         image, invd, finalT = rasterize_pallas(
-            proj, bins, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y)
-        nd, ov = bins.num_duplicates, bins.overflow
+            proj, bins, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y,
+            max_per_tile=max_per_tile)
+        nd = bins.num_duplicates
+        ml = jnp.max(bins.tile_end - bins.tile_start)
+        ov = bins.overflow | (ml > max_per_tile)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return RenderOutput(image=image, invdepth=invd, final_T=finalT,
                         radii=proj.radius, visibility=proj.visible,
-                        num_duplicates=nd, overflow=ov)
+                        num_duplicates=nd, max_tile_len=ml, overflow=ov)

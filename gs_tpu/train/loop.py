@@ -1,0 +1,244 @@
+"""The training driver: schedule, densification, eval, snapshots.
+
+Orchestrates the jitted train step exactly like the reference loop
+(ref: train.py:43-183): epoch-less random camera picks without replacement,
+densify/prune every ``densification_interval`` iters inside
+[densify_from_iter, densify_until_iter), opacity reset every
+``opacity_reset_interval`` (plus once at densify_from_iter on white bg),
+SH-degree ramp, periodic test-set PSNR reports, PLY snapshots and training
+checkpoints.
+
+TPU-specific behavior with no reference counterpart: padded-capacity growth
+(re-jit when the alive count approaches capacity) and duplicate-buffer
+overflow recovery (re-jit with a larger binning capacity).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import (ModelConfig, OptimizationConfig, PipelineConfig,
+                      RasterConfig)
+from ..core.camera import stack_cameras
+from ..data.camera_utils import LoadedCamera
+from ..models.gaussian_model import (TrainState, create_from_pcd,
+                                     densify_and_prune, grow_capacity,
+                                     init_state, reset_opacity)
+from ..ops.losses import psnr
+from ..render import render
+from .step import StepMetrics, make_train_step
+
+
+class Trainer:
+    def __init__(self, train_cams: Sequence[LoadedCamera],
+                 point_cloud, spatial_lr_scale: float,
+                 model_cfg: ModelConfig, opt: OptimizationConfig,
+                 pipe: PipelineConfig, raster: RasterConfig,
+                 test_cams: Sequence[LoadedCamera] = (),
+                 start_state: Optional[TrainState] = None,
+                 start_iteration: int = 0, seed: int = 0,
+                 initial_capacity: Optional[int] = None):
+        assert len(train_cams) > 0
+        self.train_cams = list(train_cams)
+        self.test_cams = list(test_cams)
+        self.model_cfg = model_cfg
+        self.opt = opt
+        self.pipe = pipe
+        self.raster = raster
+        self.spatial_lr_scale = float(spatial_lr_scale)
+        self.iteration = start_iteration
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.key(seed)
+
+        self.cam_batch = stack_cameras([c.camera for c in self.train_cams])
+        self.images = np.stack([c.image for c in self.train_cams])
+        has_alpha = any(c.alpha_mask.min() < 1.0 for c in self.train_cams)
+        self.alphas = (np.stack([c.alpha_mask for c in self.train_cams])
+                       if has_alpha else None)
+        self.use_depth = all(c.invdepth is not None for c in self.train_cams) \
+            and len(self.train_cams) > 0 and \
+            self.train_cams[0].invdepth is not None
+        if self.use_depth:
+            self.invdepths = np.stack([c.invdepth for c in self.train_cams])
+            self.depth_masks = np.stack([c.depth_mask for c in self.train_cams])
+            self.depth_ok = np.array(
+                [1.0 if c.depth_reliable else 0.0 for c in self.train_cams],
+                np.float32)
+
+        if start_state is None:
+            pts, cols, _ = point_cloud
+            params, alive = create_from_pcd(pts, cols, model_cfg.sh_degree,
+                                            capacity=initial_capacity)
+            self.state = init_state(params, alive,
+                                    num_images=len(self.train_cams))
+        else:
+            self.state = start_state
+
+        self._build_step()
+        self._camera_stack: list[int] = []
+        self.ema_loss = 0.0
+
+    # ------------------------------------------------------------- plumbing
+
+    def _build_step(self):
+        self.train_step = make_train_step(
+            self.opt, self.model_cfg, self.pipe, self.raster,
+            self.cam_batch, self.spatial_lr_scale, self.model_cfg.sh_degree)
+        # spatial_lr_scale IS the scene extent: the reference assigns
+        # cameras_extent to both (scene/__init__.py passes it as
+        # spatial_lr_scale; train.py:161 uses it as the densify extent)
+        self._densify = jax.jit(partial(
+            densify_and_prune,
+            grad_threshold=self.opt.densify_grad_threshold,
+            min_opacity=0.005,
+            extent=self.spatial_lr_scale,
+            percent_dense=self.opt.percent_dense))
+        self._reset_opacity = jax.jit(reset_opacity)
+
+    def _next_camera(self) -> int:
+        # random pop without replacement (ref: train.py:96-98)
+        if not self._camera_stack:
+            self._camera_stack = list(
+                self.rng.permutation(len(self.train_cams)))
+        return int(self._camera_stack.pop())
+
+    def _split_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ----------------------------------------------------------------- step
+
+    def step(self) -> StepMetrics:
+        """Run one training iteration (self.iteration advances to i+1)."""
+        self.iteration += 1
+        i = self.iteration
+        idx = self._next_camera()
+        gt = jnp.asarray(self.images[idx])
+        alpha = jnp.asarray(self.alphas[idx]) if self.alphas is not None else None
+        if self.use_depth:
+            invd = jnp.asarray(self.invdepths[idx])
+            dmask = jnp.asarray(self.depth_masks[idx])
+            dok = jnp.float32(self.depth_ok[idx])
+        else:
+            invd, dmask, dok = None, None, jnp.float32(0.0)
+        self.state, metrics = self.train_step(
+            self.state, jnp.int32(idx), gt, alpha, invd, dmask, dok,
+            jnp.int32(i), self._split_key())
+
+        if bool(metrics.overflow):
+            self._handle_overflow(int(metrics.num_duplicates),
+                                  int(metrics.max_tile_len))
+
+        # densification schedule (ref: train.py:157-167)
+        opt = self.opt
+        if i < opt.densify_until_iter:
+            if i > opt.densify_from_iter and i % opt.densification_interval == 0:
+                use_size = jnp.bool_(i > opt.opacity_reset_interval)
+                self.state, info = self._densify(
+                    self.state, self._split_key(),
+                    use_size_threshold=use_size)
+                self._maybe_grow()
+            if i % opt.opacity_reset_interval == 0 or (
+                    self.model_cfg.white_background and
+                    i == opt.densify_from_iter):
+                self.state = self._reset_opacity(self.state)
+
+        loss = float(metrics.loss)
+        self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss  # ref: train.py:142-148
+        return metrics
+
+    def _handle_overflow(self, num_duplicates: int, max_tile_len: int):
+        """Grow whichever static buffer actually overflowed, then re-jit."""
+        changes = {}
+        if num_duplicates > self.raster.dup_capacity:
+            changes["dup_capacity"] = 1 << int(
+                math.ceil(math.log2(max(num_duplicates + 1, 2))))
+        if max_tile_len > self.raster.max_per_tile:
+            changes["max_per_tile"] = 1 << int(
+                math.ceil(math.log2(max(max_tile_len + 1, 2))))
+        if not changes:
+            return
+        print(f"[gs_tpu] binning overflow (dups={num_duplicates}, "
+              f"max_tile={max_tile_len}); re-jitting with {changes}")
+        self.raster = dataclasses.replace(self.raster, **changes)
+        self._build_step()
+
+    def _maybe_grow(self, headroom: float = 0.85):
+        n_alive = int(self.state.num_alive)
+        cap = self.state.capacity
+        if n_alive > headroom * cap:
+            new_cap = cap * 2
+            print(f"[gs_tpu] capacity {n_alive}/{cap} alive; growing to {new_cap}")
+            self.state = grow_capacity(self.state, new_cap)
+            self._build_step()
+
+    # ----------------------------------------------------------------- eval
+
+    def evaluate(self, cams: Sequence[LoadedCamera],
+                 max_views: Optional[int] = None) -> dict:
+        """L1 + PSNR over a camera list (ref: train.py:207-242 training_report)."""
+        if max_views:
+            cams = cams[:max_views]
+        if not cams:
+            return {}
+        bg = jnp.ones(3) if self.model_cfg.white_background else jnp.zeros(3)
+        sh_deg = min(self.iteration // 1000, self.model_cfg.sh_degree)
+        l1s, psnrs = [], []
+        for c in cams:
+            out = render(c.camera, self.state.params, bg,
+                         active_sh_degree=sh_deg,
+                         antialiasing=self.pipe.antialiasing,
+                         alive=self.state.alive,
+                         backend=self.raster.backend,
+                         dup_capacity=self.raster.dup_capacity,
+                         max_per_tile=self.raster.max_per_tile,
+                         chunk=self.raster.chunk,
+                         tile_block=self.raster.tile_block)
+            img = jnp.clip(out.image, 0.0, 1.0)
+            gt = jnp.asarray(c.image)
+            if self.model_cfg.train_test_exp:
+                # score the right half only (ref: train.py:216-219 intent,
+                # render.py:41-43)
+                half = img.shape[-1] // 2
+                img = img[..., half:]
+                gt = gt[..., half:]
+            l1s.append(float(jnp.mean(jnp.abs(img - gt))))
+            psnrs.append(float(psnr(img[None], gt[None])[0, 0]))
+        return {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs)),
+                "n_views": len(cams)}
+
+    # ------------------------------------------------------------------ run
+
+    def train(self, iterations: Optional[int] = None,
+              test_iterations: Sequence[int] = (),
+              on_step: Optional[Callable] = None,
+              on_test: Optional[Callable] = None,
+              log_every: int = 10):
+        """Run until ``iterations`` (defaults to opt.iterations)."""
+        end = iterations if iterations is not None else self.opt.iterations
+        t0 = time.perf_counter()
+        while self.iteration < end:
+            metrics = self.step()
+            i = self.iteration
+            if on_step is not None and i % log_every == 0:
+                on_step(i, metrics, self)
+            if i in test_iterations:
+                report = {
+                    "test": self.evaluate(self.test_cams),
+                    "train_sample": self.evaluate(self.train_cams[:5]),
+                }
+                if on_test is not None:
+                    on_test(i, report, self)
+                else:
+                    print(f"[ITER {i}] " + " ".join(
+                        f"{k}: psnr={v.get('psnr', float('nan')):.2f} "
+                        f"l1={v.get('l1', float('nan')):.4f}"
+                        for k, v in report.items() if v))
+        return time.perf_counter() - t0

@@ -39,6 +39,7 @@ class StepMetrics(NamedTuple):
     ssim: jnp.ndarray
     depth_l1: jnp.ndarray
     num_duplicates: jnp.ndarray
+    max_tile_len: jnp.ndarray
     overflow: jnp.ndarray
     n_visible: jnp.ndarray
 
@@ -143,6 +144,7 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
         loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - ssim_v) + dl1
         metrics = StepMetrics(loss=loss, l1=ll1, ssim=ssim_v, depth_l1=dl1,
                               num_duplicates=out.num_duplicates,
+                              max_tile_len=out.max_tile_len,
                               overflow=out.overflow,
                               n_visible=jnp.sum(out.visibility))
         return state, metrics
