@@ -79,15 +79,12 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
         nd = bins.num_duplicates
         ml = jnp.max(bins.tile_end - bins.tile_start)
         ov = bins.overflow | (ml > max_per_tile)
-    elif backend == "pallas":
+    elif backend in ("pallas", "pallas_interpret"):
         from .ops.rasterize_pallas import rasterize_pallas
-        bins = bin_gaussians(proj, width, height, TILE_X, TILE_Y, dup_capacity)
-        image, invd, finalT = rasterize_pallas(
-            proj, bins, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y,
-            max_per_tile=max_per_tile)
-        nd = bins.num_duplicates
-        ml = jnp.max(bins.tile_end - bins.tile_start)
-        ov = bins.overflow | (ml > max_per_tile)
+        image, invd, finalT, nd, ml, ov = rasterize_pallas(
+            proj, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y,
+            max_per_tile=max_per_tile, dup_capacity=dup_capacity,
+            interpret=(backend == "pallas_interpret"))
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return RenderOutput(image=image, invdepth=invd, final_T=finalT,
