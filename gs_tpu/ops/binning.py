@@ -91,67 +91,3 @@ def bin_gaussians(proj: Projected, width: int, height: int,
         num_duplicates=total.astype(jnp.int32),
         overflow=total > capacity,
     )
-
-
-class AlignedBins(NamedTuple):
-    """Chunk-aligned entry lists for the Pallas kernel: every tile's segment
-    starts at a multiple of ``chunk`` so per-chunk DMA slices are aligned."""
-    entry_gid: jnp.ndarray     # [DA] int32 (0 where invalid)
-    entry_valid: jnp.ndarray   # [DA] bool
-    tile_start: jnp.ndarray    # [T] int32, multiples of chunk
-    tile_nchunks: jnp.ndarray  # [T] int32, clamped to max_chunks
-    num_duplicates: jnp.ndarray
-    max_tile_len: jnp.ndarray  # [] int32 (pre-clamp true max)
-    overflow: jnp.ndarray      # [] bool
-
-
-def bin_gaussians_aligned(proj: Projected, width: int, height: int,
-                          tile_x: int, tile_y: int, capacity: int,
-                          chunk: int, max_chunks: int) -> AlignedBins:
-    """Binning with per-tile chunk alignment (for aligned HBM DMA on TPU).
-
-    Entries stay depth-ordered within each tile; the gap slots introduced by
-    rounding each tile's count up to a multiple of ``chunk`` are marked
-    invalid. ``capacity`` is the size of the aligned entry array.
-
-    Built entirely from sorts + gathers + searchsorted — no scatters, which
-    serialize on TPU (measured 9x slowdown with the scatter formulation).
-    """
-    gx, gy = tile_grid(width, height, tile_x, tile_y)
-    num_tiles = gx * gy
-    bins = bin_gaussians(proj, width, height, tile_x, tile_y, capacity)
-
-    counts = bins.tile_end - bins.tile_start                  # [T]
-    padded = ((counts + chunk - 1) // chunk) * chunk
-    aligned_off = jnp.cumsum(padded) - padded                 # exclusive
-    total_aligned = jnp.sum(padded)
-    max_len = jnp.max(counts)
-
-    # gather formulation: for every aligned slot find its tile, then its
-    # source position in the sorted entry list
-    d = bins.entry_gid.shape[0]
-    slot = jnp.arange(capacity, dtype=jnp.int32)
-    tile_of_slot = jnp.searchsorted(aligned_off, slot,
-                                    side='right').astype(jnp.int32) - 1
-    tile_of_slot = jnp.clip(tile_of_slot, 0, num_tiles - 1)
-    local = slot - aligned_off[tile_of_slot]
-    src = bins.tile_start[tile_of_slot] + local
-    valid = (local < counts[tile_of_slot]) & (slot < total_aligned)
-    gid = jnp.where(valid, bins.entry_gid[jnp.clip(src, 0, d - 1)], 0)
-
-    nchunks = jnp.minimum((counts + chunk - 1) // chunk, max_chunks)
-    # memory-safety clamp under overflow: never let a tile's chunk range read
-    # past the aligned buffer (the overflow flag triggers a re-jit anyway)
-    start_clamped = jnp.minimum(aligned_off, capacity - chunk)
-    nchunks = jnp.minimum(nchunks,
-                          jnp.maximum(capacity - start_clamped, 0) // chunk)
-    return AlignedBins(
-        entry_gid=gid,
-        entry_valid=valid,
-        tile_start=start_clamped.astype(jnp.int32),
-        tile_nchunks=nchunks.astype(jnp.int32),
-        num_duplicates=bins.num_duplicates,
-        max_tile_len=max_len.astype(jnp.int32),
-        overflow=(bins.overflow | (total_aligned > capacity) |
-                  (max_len > max_chunks * chunk)),
-    )

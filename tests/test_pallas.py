@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from gs_tpu.core.project import preprocess
-from gs_tpu.ops.binning import bin_gaussians_aligned
+from gs_tpu.ops.binning import bin_gaussians
 from gs_tpu.render import render
 
 from utils import default_camera, random_params
@@ -29,18 +29,22 @@ def scene():
     return params, cam, bg
 
 
-def test_aligned_binning(scene):
+def test_binning_ranges(scene):
     params, cam, bg = scene
     proj = preprocess(params, cam, active_sh_degree=2)
-    abins = bin_gaussians_aligned(proj, cam.width, cam.height, 16, 16,
-                                  1 << 14, 128, 2)
-    assert not bool(abins.overflow)
-    starts = np.asarray(abins.tile_start)
-    assert np.all(starts % 128 == 0)
-    # every valid aligned entry keeps its tile's depth order
-    valid = np.asarray(abins.entry_valid)
-    n_valid = valid.sum()
-    assert n_valid == int(abins.num_duplicates)
+    bins = bin_gaussians(proj, cam.width, cam.height, 16, 16, 1 << 14)
+    assert not bool(bins.overflow)
+    start = np.asarray(bins.tile_start)
+    end = np.asarray(bins.tile_end)
+    assert np.all(end >= start)
+    assert (end - start).sum() == int(bins.num_duplicates)
+    # entries within a tile must be depth-ordered
+    gid = np.asarray(bins.entry_gid)
+    depth = np.asarray(proj.depth)
+    t0, t1 = start[0], end[0]
+    for t in range(len(start)):
+        d = depth[gid[start[t]:end[t]]]
+        assert np.all(np.diff(d) >= 0), f"tile {t} not depth-sorted"
 
 
 def test_pallas_forward_matches_jnp(scene):
