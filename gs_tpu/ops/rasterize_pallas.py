@@ -372,7 +372,9 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
 
     bins = bin_gaussians(proj, width, height, tile_x, tile_y, dup_capacity)
     packets = pack_projected(proj)                       # [N, 10]
-    gathered = packets[bins.entry_gid]                   # [D, 10]
+    from .segment import gather_rows
+    gathered = gather_rows(packets, bins.entry_gid,
+                           packets.shape[0])             # [D, 10]
     pad = jnp.zeros((gathered.shape[0], NFEAT - 10), jnp.float32)
     feats = jnp.concatenate([gathered, pad], axis=1).T   # [NFEAT, D]
 
