@@ -52,7 +52,10 @@ def render_set(model_path: str, name: str, iteration: int, cams, params,
     os.makedirs(gt_dir, exist_ok=True)
     for idx, cam in enumerate(cams):
         out = render(cam.camera, params, bg, active_sh_degree=sh_degree,
-                     antialiasing=pipe.antialiasing, alive=alive,
+                     antialiasing=pipe.antialiasing,
+                     convert_SHs_python=pipe.convert_SHs_python,
+                     compute_cov3D_python=pipe.compute_cov3D_python,
+                     alive=alive,
                      backend=raster.backend,
                      dup_capacity=raster.dup_capacity,
                      max_per_tile=raster.max_per_tile, chunk=raster.chunk,

@@ -49,8 +49,14 @@ def main(argv=None):
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--detect_anomaly", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
+
+    if args.detect_anomaly:
+        # ref: train.py:253,269 (torch.autograd.set_detect_anomaly)
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     model_cfg = extract_dataclass(ModelConfig, args)
     opt = extract_dataclass(OptimizationConfig, args)

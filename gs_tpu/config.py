@@ -72,7 +72,7 @@ class OptimizationConfig:
 @dataclass
 class RasterConfig:
     """TPU-specific rasterizer knobs (no reference counterpart)."""
-    backend: str = "binned"          # depthwise | binned | pallas
+    backend: str = "auto"            # auto | depthwise | binned | pallas
     dup_capacity: int = 1 << 20
     max_per_tile: int = 4096
     chunk: int = 128

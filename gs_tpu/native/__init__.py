@@ -96,6 +96,8 @@ def read_points3d_bin(path: str):
     lib = _load()
     if lib is None:
         return None
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
     n = ctypes.c_int64()
     xyz = ctypes.POINTER(ctypes.c_double)()
     rgb = ctypes.POINTER(ctypes.c_uint8)()
@@ -116,6 +118,8 @@ def read_images_bin(path: str):
     lib = _load()
     if lib is None:
         return None
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
     n = ctypes.c_int64()
     ids = ctypes.POINTER(ctypes.c_int32)()
     qvecs = ctypes.POINTER(ctypes.c_double)()
@@ -154,6 +158,8 @@ def read_cameras_bin(path: str):
     lib = _load()
     if lib is None:
         return None
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
     n = ctypes.c_int64()
     ids = ctypes.POINTER(ctypes.c_int32)()
     models = ctypes.POINTER(ctypes.c_int32)()

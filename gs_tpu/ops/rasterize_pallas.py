@@ -100,6 +100,12 @@ def _chunk_alpha(f, vmask, px, py):
     return alpha, g, opg, dx, dy, gate
 
 
+def _chunk_dma(feats_hbm, fbuf, sem, base, k, slot):
+    return pltpu.make_async_copy(
+        feats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
+        fbuf.at[slot], sem.at[slot])
+
+
 def _fwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_ref,
                 fbuf, sem, *, gx, tile_x, tile_y, pix, max_chunks):
     t = pl.program_id(0)
@@ -114,46 +120,54 @@ def _fwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_ref,
     out_ref[0, 4:5] = jnp.ones((1, pix), jnp.float32)   # running T
     out_ref[0, 5:6] = jnp.ones((1, pix), jnp.float32)   # frozen T (Tmin)
 
-    def body(carry):
-        k, _ = carry
-        dma = pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
-            fbuf, sem)
-        dma.start()
-        dma.wait()
-        f = fbuf[:].T                                    # [CS, NFEAT]
-        vmask = _entry_mask(base, k, start, end)
-        alpha, _, _, _, _, _ = _chunk_alpha(f, vmask, px, py)
+    @pl.when(nchunks > 0)
+    def _():
+        _chunk_dma(feats_hbm, fbuf, sem, base, 0, 0).start()
 
-        lg = jnp.log1p(-alpha)                           # [CS, PIX]
-        cum = jnp.dot(l_incl, lg, preferred_element_type=jnp.float32)
-        u_prev = out_ref[0, 4:5]                         # [1, PIX]
-        u_incl = u_prev * jnp.exp(cum)
-        u_excl = u_prev * jnp.exp(cum - lg)
-        live = (u_incl >= T_EPS).astype(jnp.float32)
-        w = alpha * u_excl * live                        # [CS, PIX]
+    # fori with double-buffered DMA: the next chunk streams while the current
+    # one composites; early-terminated tiles skip the compute (the DMA still
+    # streams so every started copy is awaited)
+    def body(k, umax):
+        slot = jax.lax.rem(k, 2)
 
-        contrib = jax.lax.dot_general(
-            f[:, 6:10], w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [4, PIX]
-        out_ref[0, 0:4] += contrib
-        u_new = u_incl[CS - 1:CS, :]
-        tmin = jnp.min(jnp.where(live > 0, u_incl, jnp.inf), axis=0,
-                       keepdims=True)
-        out_ref[0, 5:6] = jnp.minimum(out_ref[0, 5:6], tmin)
-        out_ref[0, 4:5] = u_new
-        return k + 1, jnp.max(u_new)
+        @pl.when(k + 1 < nchunks)
+        def _():
+            _chunk_dma(feats_hbm, fbuf, sem, base, k + 1, 1 - slot).start()
 
-    def cond(carry):
-        k, umax = carry
-        return (k < nchunks) & (umax >= T_EPS)
+        _chunk_dma(feats_hbm, fbuf, sem, base, k, slot).wait()
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+        @pl.when(umax >= T_EPS)
+        def _():
+            f = fbuf[slot].T                             # [CS, NFEAT]
+            vmask = _entry_mask(base, k, start, end)
+            alpha, _, _, _, _, _ = _chunk_alpha(f, vmask, px, py)
+
+            lg = jnp.log1p(-alpha)                       # [CS, PIX]
+            cum = jnp.dot(l_incl, lg, preferred_element_type=jnp.float32)
+            u_prev = out_ref[0, 4:5]                     # [1, PIX]
+            u_incl = u_prev * jnp.exp(cum)
+            u_excl = u_prev * jnp.exp(cum - lg)
+            live = (u_incl >= T_EPS).astype(jnp.float32)
+            w = alpha * u_excl * live                    # [CS, PIX]
+
+            contrib = jax.lax.dot_general(
+                f[:, 6:10], w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [4, PIX]
+            out_ref[0, 0:4] += contrib
+            tmin = jnp.min(jnp.where(live > 0, u_incl, jnp.inf), axis=0,
+                           keepdims=True)
+            out_ref[0, 5:6] = jnp.minimum(out_ref[0, 5:6], tmin)
+            out_ref[0, 4:5] = u_incl[CS - 1:CS, :]
+
+        return jnp.max(out_ref[0, 4:5])
+
+    jax.lax.fori_loop(0, nchunks, body, jnp.float32(1.0))
 
 
 def _bwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_fwd_ref,
-                dout_ref, zeros_hbm, dfeats_hbm, fbuf, dbuf, ustore,
-                sem_in, sem_out, *, gx, tile_x, tile_y, pix, max_chunks):
+                dout_ref, zeros_hbm, dfeats_hbm, fbuf, dbuf_rd, dbuf_wr,
+                ustore, sem_in, sem_rd, sem_wr, *,
+                gx, tile_x, tile_y, pix, max_chunks):
     del zeros_hbm  # aliased into dfeats_hbm (zero initialization)
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -169,37 +183,72 @@ def _bwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_fwd_ref,
     tmin = out_fwd_ref[0, 5:6]                            # [1, PIX] value
 
     # ---- sweep 1: store per-chunk entering transmittance ------------------
-    def body1(carry):
-        k, u_prev = carry
-        ustore[pl.ds(k, 1), :] = u_prev
-        dma = pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
-            fbuf, sem_in)
-        dma.start()
-        dma.wait()
-        vmask = _entry_mask(base, k, start, end)
-        alpha, _, _, _, _, _ = _chunk_alpha(fbuf[:].T, vmask, px, py)
-        lg = jnp.log1p(-alpha)
-        cum = jnp.dot(l_incl, lg, preferred_element_type=jnp.float32)
-        u_incl = u_prev * jnp.exp(cum)
-        return k + 1, u_incl[CS - 1:CS, :]
+    @pl.when(nchunks > 0)
+    def _():
+        _chunk_dma(feats_hbm, fbuf, sem_in, base, 0, 0).start()
 
-    def cond1(carry):
-        k, u_prev = carry
-        return (k < nchunks) & (jnp.max(u_prev) >= T_EPS)
+    def body1(k, carry):
+        kproc, u_prev = carry
+        slot = jax.lax.rem(k, 2)
 
-    kproc, _ = jax.lax.while_loop(
-        cond1, body1, (jnp.int32(0), jnp.ones((1, pix), jnp.float32)))
+        @pl.when(k + 1 < nchunks)
+        def _():
+            _chunk_dma(feats_hbm, fbuf, sem_in, base, k + 1, 1 - slot).start()
+
+        _chunk_dma(feats_hbm, fbuf, sem_in, base, k, slot).wait()
+        active = jnp.max(u_prev) >= T_EPS
+
+        def compute(u_prev):
+            ustore[pl.ds(k, 1), :] = u_prev
+            vmask = _entry_mask(base, k, start, end)
+            alpha, _, _, _, _, _ = _chunk_alpha(fbuf[slot].T, vmask, px, py)
+            lg = jnp.log1p(-alpha)
+            cum = jnp.dot(l_incl, lg, preferred_element_type=jnp.float32)
+            u_incl = u_prev * jnp.exp(cum)
+            return u_incl[CS - 1:CS, :]
+
+        u_next = jax.lax.cond(active, compute, lambda u: u, u_prev)
+        kproc = jnp.where(active, k + 1, kproc)
+        return kproc, u_next
+
+    kproc, _ = jax.lax.fori_loop(
+        0, nchunks, body1,
+        (jnp.int32(0), jnp.ones((1, pix), jnp.float32)))
 
     # ---- sweep 2: back-to-front with suffix carry S ------------------------
-    def body2(j, s_carry):
+    # Double-buffered: chunk k-1's feature load and d-chunk read stream while
+    # chunk k computes; writes overlap the next chunk's compute and are
+    # awaited before their buffer slot is reused (and before program end, so
+    # the next tile's read of a shared boundary chunk is ordered).
+    def rd_dma(slot, k):
+        return pltpu.make_async_copy(
+            dfeats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
+            dbuf_rd.at[slot], sem_rd.at[slot])
+
+    def wr_dma(slot, k):
+        return pltpu.make_async_copy(
+            dbuf_wr.at[slot],
+            dfeats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
+            sem_wr.at[slot])
+
+    @pl.when(kproc > 0)
+    def _():
+        _chunk_dma(feats_hbm, fbuf, sem_in, base, kproc - 1, 0).start()
+        rd_dma(0, kproc - 1).start()
+
+    def body2(j, carry):
+        s_carry, wk0, wk1 = carry                    # pending write k per slot
         k = kproc - 1 - j
-        dma = pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
-            fbuf, sem_in)
-        dma.start()
-        dma.wait()
-        f = fbuf[:].T                                # [CS, NFEAT]
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < kproc)
+        def _():
+            _chunk_dma(feats_hbm, fbuf, sem_in, base, k - 1, 1 - slot).start()
+            rd_dma(1 - slot, k - 1).start()
+
+        _chunk_dma(feats_hbm, fbuf, sem_in, base, k, slot).wait()
+        rd_dma(slot, k).wait()
+        f = fbuf[slot].T                             # [CS, NFEAT]
         vmask = _entry_mask(base, k, start, end)
         alpha, g, opg, dx, dy, gate = _chunk_alpha(f, vmask, px, py)
         lg = jnp.log1p(-alpha)
@@ -252,21 +301,27 @@ def _bwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_fwd_ref,
         dgrad = jnp.where(vmask, dgrad, 0.0)
 
         # read-modify-write: boundary chunks are shared with adjacent tiles
-        # (grid programs run sequentially on the core, so this is race-free)
-        dma_rd = pltpu.make_async_copy(
-            dfeats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
-            dbuf, sem_out)
-        dma_rd.start()
-        dma_rd.wait()
-        dbuf[:] = dbuf[:] + dgrad.T
-        dma_wr = pltpu.make_async_copy(
-            dbuf, dfeats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS),
-                                         CS)], sem_out)
-        dma_wr.start()
-        dma_wr.wait()
-        return jnp.sum(wc, axis=0, keepdims=True) + s_carry
+        # (grid programs run sequentially on the core, so this is race-free);
+        # wait the previous write on this slot before reusing its buffer
+        pending = jnp.where(slot == 0, wk0, wk1)
 
-    jax.lax.fori_loop(0, kproc, body2, jnp.zeros((1, pix), jnp.float32))
+        @pl.when(pending >= 0)
+        def _():
+            wr_dma(slot, pending).wait()
+        dbuf_wr[slot] = dbuf_rd[slot] + dgrad.T
+        wr_dma(slot, k).start()
+        wk0 = jnp.where(slot == 0, k, wk0)
+        wk1 = jnp.where(slot == 1, k, wk1)
+        return (jnp.sum(wc, axis=0, keepdims=True) + s_carry, wk0, wk1)
+
+    _, wk0_f, wk1_f = jax.lax.fori_loop(
+        0, kproc, body2,
+        (jnp.zeros((1, pix), jnp.float32),
+         jnp.int32(-1), jnp.int32(-1)))
+    for slot, wkf in ((0, wk0_f), (1, wk1_f)):
+        @pl.when(wkf >= 0)
+        def _(slot=slot, wkf=wkf):
+            wr_dma(slot, wkf).wait()
 
 
 class _Statics(NamedTuple):
@@ -294,8 +349,8 @@ def _raster_tiles_fwd(feats, tile_start, tile_end, statics: _Statics):
         out_specs=pl.BlockSpec((1, 8, pix), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NFEAT, CS), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, NFEAT, CS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_fwd_kernel, gx=s.gx, tile_x=s.tile_x,
@@ -327,11 +382,13 @@ def _raster_tiles_bwd(statics: _Statics, residuals, dout):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((NFEAT, CS), jnp.float32),
-            pltpu.VMEM((NFEAT, CS), jnp.float32),
+            pltpu.VMEM((2, NFEAT, CS), jnp.float32),   # fbuf
+            pltpu.VMEM((2, NFEAT, CS), jnp.float32),   # dbuf_rd
+            pltpu.VMEM((2, NFEAT, CS), jnp.float32),   # dbuf_wr
             pltpu.VMEM((s.max_chunks, pix), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),             # sem_in
+            pltpu.SemaphoreType.DMA((2,)),             # sem_rd
+            pltpu.SemaphoreType.DMA((2,)),             # sem_wr
         ],
     )
     kernel = functools.partial(_bwd_kernel, gx=s.gx, tile_x=s.tile_x,

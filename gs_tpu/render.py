@@ -40,22 +40,53 @@ class RenderOutput(NamedTuple):
     overflow: jnp.ndarray     # [] bool
 
 
+def resolve_backend(backend: str) -> str:
+    """'auto' picks the Pallas kernel on TPU, the XLA path elsewhere."""
+    if backend == "auto":
+        import jax
+        return "pallas" if jax.default_backend() == "tpu" else "binned"
+    return backend
+
+
 def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
            active_sh_degree: int,
            scaling_modifier: float = 1.0,
            antialiasing: bool = False,
            alive: Optional[jnp.ndarray] = None,
            override_color: Optional[jnp.ndarray] = None,
+           convert_SHs_python: bool = False,
+           compute_cov3D_python: bool = False,
            backend: str = "binned",
            dup_capacity: int = 1 << 18,
            max_per_tile: int = 1024,
            chunk: int = 64,
            tile_block: int = 0) -> RenderOutput:
-    """Render one view. Differentiable w.r.t. ``params`` (and bg)."""
+    """Render one view. Differentiable w.r.t. ``params`` (and bg).
+
+    ``convert_SHs_python`` / ``compute_cov3D_python`` recompute SH shading /
+    the 3D covariance outside the preprocess and feed them back as
+    override_color / cov3d_precomp — the reference's kernel cross-check
+    switches (ref: gaussian_renderer/__init__.py:63-84,
+    arguments/__init__.py:67-68); the math is identical.
+    """
+    cov3d_precomp = None
+    if compute_cov3D_python and override_color is None:
+        from .core.gaussians import covariance_3d, get_scaling
+        cov3d_precomp = covariance_3d(get_scaling(params), scaling_modifier,
+                                      params.quat)
+    if convert_SHs_python and override_color is None:
+        from .core.sh import eval_sh
+        dirs = params.xyz - camera.camera_center[None, :]
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        feats = jnp.concatenate([params.sh_dc, params.sh_rest], axis=1)
+        sh = jnp.swapaxes(feats, 1, 2)
+        override_color = jnp.maximum(
+            eval_sh(active_sh_degree, sh, dirs) + 0.5, 0.0)
     proj = preprocess(params, camera, active_sh_degree=active_sh_degree,
                       scaling_modifier=scaling_modifier,
                       antialiasing=antialiasing, alive=alive,
-                      override_color=override_color)
+                      override_color=override_color,
+                      cov3d_precomp=cov3d_precomp)
     return render_projected(proj, camera.width, camera.height, bg,
                             backend=backend, dup_capacity=dup_capacity,
                             max_per_tile=max_per_tile, chunk=chunk,
@@ -66,6 +97,7 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
                      *, backend: str = "binned", dup_capacity: int = 1 << 18,
                      max_per_tile: int = 1024, chunk: int = 64,
                      tile_block: int = 0) -> RenderOutput:
+    backend = resolve_backend(backend)
     zero_i = jnp.int32(0)
     if backend == "depthwise":
         image, invd, finalT = rasterize_depthwise(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import time
 from functools import partial
 from typing import Callable, Optional, Sequence
@@ -151,8 +152,26 @@ class Trainer:
                 self.state = self._reset_opacity(self.state)
 
         loss = float(metrics.loss)
+        if not math.isfinite(loss):
+            self._dump_debug(idx)
+            raise FloatingPointError(
+                f"non-finite loss at iteration {i} (camera {idx}); state "
+                f"snapshot written next to the model")
         self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss  # ref: train.py:142-148
         return metrics
+
+    def _dump_debug(self, cam_idx: int):
+        """Crash snapshot of the rasterizer inputs — the TPU analogue of the
+        reference's --debug dump-on-kernel-failure (ref: README.md:168-171,
+        train.py:101-102)."""
+        path = os.path.join(self.model_cfg.model_path or ".", "dump.npz")
+        p = jax.device_get(self.state.params)
+        np.savez(path, xyz=p.xyz, sh_dc=p.sh_dc, sh_rest=p.sh_rest,
+                 log_scale=p.log_scale, quat=p.quat,
+                 logit_opacity=p.logit_opacity,
+                 alive=np.asarray(self.state.alive),
+                 cam_idx=cam_idx, iteration=self.iteration)
+        print(f"[gs_tpu] wrote debug dump to {path}")
 
     def _handle_overflow(self, num_duplicates: int, max_tile_len: int):
         """Grow whichever static buffer actually overflowed, then re-jit."""
@@ -195,6 +214,8 @@ class Trainer:
             out = render(c.camera, self.state.params, bg,
                          active_sh_degree=sh_deg,
                          antialiasing=self.pipe.antialiasing,
+                         convert_SHs_python=self.pipe.convert_SHs_python,
+                         compute_cov3D_python=self.pipe.compute_cov3D_python,
                          alive=self.state.alive,
                          backend=self.raster.backend,
                          dup_capacity=self.raster.dup_capacity,
