@@ -43,9 +43,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.project import Projected
-from .binning import bin_gaussians, tile_grid
+from .binning import bin_gaussians_payload, tile_grid
 from .composite import ALPHA_MAX, ALPHA_MIN, T_EPS
 from .rasterize_jnp import pack_projected
+from .segment import segment_sum_compact
 
 CS = 128          # entries per chunk (= lane width)
 NFEAT = 16
@@ -411,6 +412,41 @@ def _raster_tiles_bwd(statics: _Statics, residuals, dout):
 _raster_tiles.defvjp(_raster_tiles_fwd, _raster_tiles_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bin_with_payload(packets, proj_sg, dims):
+    """Binning with the packet columns carried through the sort; VJP routes
+    d(sorted packets) back to packets via the sort-based segment sum. The
+    geometry inputs are stop-gradient'd (binning is integer-valued, exactly
+    like the CUDA sort stage)."""
+    out, _ = _bin_with_payload_fwd(packets, proj_sg, dims)
+    return out
+
+
+def _bin_with_payload_fwd(packets, proj_sg, dims):
+    width, height, tile_x, tile_y, dup_capacity = dims
+    bins, sorted_payload = bin_gaussians_payload(
+        proj_sg, packets, width, height, tile_x, tile_y, dup_capacity)
+    return (bins, sorted_payload), (bins.entry_gid, packets.shape[0], proj_sg)
+
+
+def _zero_tangent(x):
+    import numpy as _np
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return _np.zeros(x.shape, jax.dtypes.float0)   # int/bool leaves
+
+
+def _bin_with_payload_bwd(dims, residuals, cot):
+    gid, n, proj_sg = residuals
+    _, d_sorted = cot                    # TileBins cotangents are float0
+    d_packets = segment_sum_compact(d_sorted, gid, n)
+    d_proj = jax.tree.map(_zero_tangent, proj_sg)
+    return d_packets, d_proj
+
+
+_bin_with_payload.defvjp(_bin_with_payload_fwd, _bin_with_payload_bwd)
+
+
 def rasterize_pallas(proj: Projected, width: int, height: int,
                      bg: jnp.ndarray, *, tile_x: int = 16, tile_y: int = 16,
                      max_per_tile: int = 4096, dup_capacity: int = 1 << 20,
@@ -427,11 +463,10 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
     max_chunks = max(max_per_tile // CS, 1) + 1
     assert dup_capacity % CS == 0, "dup_capacity must be a multiple of 128"
 
-    bins = bin_gaussians(proj, width, height, tile_x, tile_y, dup_capacity)
     packets = pack_projected(proj)                       # [N, 10]
-    from .segment import gather_rows
-    gathered = gather_rows(packets, bins.entry_gid,
-                           packets.shape[0])             # [D, 10]
+    bins, gathered = _bin_with_payload(
+        packets, jax.tree.map(jax.lax.stop_gradient, proj),
+        (width, height, tile_x, tile_y, dup_capacity))   # [D, 10]
     pad = jnp.zeros((gathered.shape[0], NFEAT - 10), jnp.float32)
     feats = jnp.concatenate([gathered, pad], axis=1).T   # [NFEAT, D]
 

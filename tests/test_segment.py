@@ -3,8 +3,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gs_tpu.ops.segment import (gather_rows, segment_sum_sorted,
-                                _segment_sum_scan_free)
+from gs_tpu.ops.segment import (gather_rows, segment_sum_compact,
+                                segment_sum_sorted, _segment_sum_scan_free)
 
 
 def test_segment_sum_variants(rng):
@@ -13,7 +13,8 @@ def test_segment_sum_variants(rng):
     gid = jnp.asarray(rng.integers(0, n, d), jnp.int32)
     expected = np.zeros((n, f), np.float32)
     np.add.at(expected, np.asarray(gid), np.asarray(vals))
-    for fn in (segment_sum_sorted, _segment_sum_scan_free):
+    for fn in (segment_sum_sorted, _segment_sum_scan_free,
+               segment_sum_compact):
         got = np.asarray(fn(vals, gid, n))
         np.testing.assert_allclose(got, expected, atol=1e-3,
                                    err_msg=fn.__name__)
@@ -23,9 +24,10 @@ def test_segment_sum_empty_and_dense(rng):
     # segments with no entries must be exactly zero; all-same-gid too
     vals = jnp.ones((64, 2), jnp.float32)
     gid = jnp.full((64,), 5, jnp.int32)
-    out = np.asarray(_segment_sum_scan_free(vals, gid, 10))
-    assert out[5, 0] == 64.0
-    assert np.all(out[[0, 1, 2, 3, 4, 6, 7, 8, 9]] == 0)
+    for fn in (_segment_sum_scan_free, segment_sum_compact):
+        out = np.asarray(fn(vals, gid, 10))
+        assert out[5, 0] == 64.0
+        assert np.all(out[[0, 1, 2, 3, 4, 6, 7, 8, 9]] == 0)
 
 
 def test_gather_rows_vjp(rng):
