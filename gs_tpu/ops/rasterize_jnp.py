@@ -27,17 +27,23 @@ from .composite import composite_chunk, splat_alpha
 
 
 def pack_projected(proj: Projected) -> jnp.ndarray:
-    """[N, 10] rows (x, y, conic_a, conic_b, conic_c, opacity, r, g, b, invdepth)."""
+    """[N, 10] rows (x, y, conic_a, conic_b, conic_c, opacity, r, g, b, invdepth).
+
+    Invisible rows are zeroed ENTIRELY: culled/padded gaussians can carry
+    non-finite conic (singular covariance) and rgb (zero view direction), and
+    a single NaN row poisons the Pallas kernel's [entries, 4] contraction
+    even at zero blend weight (0 * NaN = NaN on the MXU).
+    """
     safe_depth = jnp.where(proj.depth > 0, proj.depth, 1.0)
-    invd = jnp.where(proj.visible, 1.0 / safe_depth, 0.0)
-    op = jnp.where(proj.visible, proj.opacity, 0.0)
-    return jnp.concatenate([
+    invd = 1.0 / safe_depth
+    packets = jnp.concatenate([
         proj.mean2d,
         proj.conic,
-        op[:, None],
+        proj.opacity[:, None],
         proj.rgb,
         invd[:, None],
     ], axis=-1)
+    return jnp.where(proj.visible[:, None], packets, 0.0)
 
 
 def _pixel_coords(width: int, height: int):

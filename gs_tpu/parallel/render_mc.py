@@ -1,0 +1,136 @@
+"""Multi-chip rendering: gaussians sharded over the mesh, tiles banded.
+
+The scaling design the single-GPU reference lacks (ref: SURVEY.md §2.4 — "no
+multi-GPU of any kind"; BASELINE.json north star): under ``shard_map``,
+
+  1. each device preprocesses ITS shard of the gaussians (EWA projection,
+     SH shading) — embarrassingly parallel over the ``gauss`` axis,
+  2. the per-gaussian screen-space packets are ``all_gather``ed over ICI
+     (40 B/gaussian — the culled working set, not the parameters),
+  3. each device bins and rasterizes its own horizontal BAND of image tiles
+     (the packet y coordinates are shifted into band-local frame so the tile
+     kernel is reused unchanged),
+  4. the band images are all-gathered into the full frame; in the backward
+     pass XLA transposes that to a slice and transposes the packet
+     all-gather into a reduce-scatter — per-gaussian gradients arrive
+     pre-sharded on their owner device with no manual collective code.
+
+Densification/optimizer state stay sharded on ``gauss`` (parallel/mesh.py);
+this module only parallelizes the render/backward sweep.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.camera import Camera
+from ..core.gaussians import GaussianParams
+from ..core.project import Projected, preprocess
+from ..ops.binning import tile_grid
+from ..render import RenderOutput, render_projected
+from .mesh import GAUSS_AXIS
+
+
+def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
+                     mesh: Mesh, *, active_sh_degree: int,
+                     antialiasing: bool = False,
+                     alive: Optional[jnp.ndarray] = None,
+                     mean2d_tap: Optional[jnp.ndarray] = None,
+                     backend: str = "pallas",
+                     dup_capacity: int = 1 << 18,
+                     max_per_tile: int = 1024,
+                     chunk: int = 64) -> RenderOutput:
+    """Render one view with gaussians sharded over ``mesh`` (axis 'gauss').
+
+    ``dup_capacity`` is PER DEVICE (each band bins only the entries that
+    touch it). ``mean2d_tap`` is the densification gradient tap added to the
+    sharded screen-space means. Returns a replicated image and per-gaussian
+    stats sharded like the parameters.
+    """
+    k = mesh.devices.size
+    width, height = camera.width, camera.height
+    tile_x = tile_y = 16
+    gx, gy = tile_grid(width, height, tile_x, tile_y)
+    gy_pad = -(-gy // k) * k
+    band_rows = gy_pad // k
+    band_h = band_rows * tile_y
+
+    gspec = P(GAUSS_AXIS)
+    rspec = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(gspec, gspec if alive is not None else rspec,
+                  gspec if mean2d_tap is not None else rspec, rspec),
+        out_specs=(rspec, rspec, rspec, gspec, gspec, rspec, rspec, rspec),
+        check_vma=False)
+    def fn(p_shard, alive_shard, tap_shard, bg_in):
+        proj = preprocess(p_shard, camera, active_sh_degree=active_sh_degree,
+                          antialiasing=antialiasing,
+                          alive=alive_shard if alive is not None else None)
+        if mean2d_tap is not None:
+            proj = proj._replace(mean2d=proj.mean2d + tap_shard)
+
+        from ..ops.rasterize_jnp import pack_projected
+        packets = pack_projected(proj)                  # [n_local, 10]
+        geom = jnp.concatenate([
+            proj.radius.astype(jnp.float32)[:, None],
+            proj.depth[:, None],
+            proj.visible.astype(jnp.float32)[:, None]], axis=1)
+
+        packets_full = jax.lax.all_gather(packets, GAUSS_AXIS, axis=0,
+                                          tiled=True)   # [N, 10]
+        geom_full = jax.lax.all_gather(geom, GAUSS_AXIS, axis=0, tiled=True)
+
+        # shift into band-local pixel coordinates
+        band_px = (jax.lax.axis_index(GAUSS_AXIS) * band_h).astype(jnp.float32)
+        packets_local = packets_full.at[:, 1].add(-band_px)
+        proj_band = Projected(
+            mean2d=packets_local[:, 0:2],
+            conic=packets_local[:, 2:5],
+            depth=geom_full[:, 1],
+            radius=geom_full[:, 0].astype(jnp.int32),
+            rgb=packets_local[:, 6:9],
+            opacity=packets_local[:, 5],
+            visible=geom_full[:, 2] > 0.5,
+        )
+        out = render_projected(proj_band, width, band_h, bg_in,
+                               backend=backend, dup_capacity=dup_capacity,
+                               max_per_tile=max_per_tile, chunk=chunk)
+        image = jax.lax.all_gather(out.image, GAUSS_AXIS, axis=1, tiled=True)
+        invd = jax.lax.all_gather(out.invdepth, GAUSS_AXIS, axis=1, tiled=True)
+        finalT = jax.lax.all_gather(out.final_T, GAUSS_AXIS, axis=0,
+                                    tiled=True)
+        # per-gaussian stats (non-differentiable): the geometry is identical
+        # on every device after the all-gather, so just slice the local shard
+        n_local = p_shard.xyz.shape[0]
+        geom_sg = jax.lax.stop_gradient(geom_full)
+        i0 = jax.lax.axis_index(GAUSS_AXIS) * n_local
+        geom_loc = jax.lax.dynamic_slice_in_dim(geom_sg, i0, n_local, axis=0)
+        radii_loc = geom_loc[:, 0].astype(jnp.int32)
+        vis_loc = geom_loc[:, 2] > 0.5
+        stats = jax.lax.stop_gradient(jnp.stack([
+            out.num_duplicates.astype(jnp.float32),
+            out.max_tile_len.astype(jnp.float32),
+            out.overflow.astype(jnp.float32)]))
+        nd = jax.lax.psum(stats[0], GAUSS_AXIS).astype(jnp.int32)
+        ml = jax.lax.pmax(stats[1], GAUSS_AXIS).astype(jnp.int32)
+        ov = jax.lax.pmax(stats[2], GAUSS_AXIS) > 0
+        return image, invd, finalT, radii_loc, vis_loc, nd, ml, ov
+
+    alive_in = alive if alive is not None else jnp.zeros((1,), bool)
+    tap_in = (mean2d_tap if mean2d_tap is not None
+              else jnp.zeros((1, 2), jnp.float32))
+    image, invd, finalT, radii, vis, nd, ml, ov = fn(
+        params, alive_in, tap_in, bg)
+    return RenderOutput(
+        image=image[:, :height, :],
+        invdepth=invd[:, :height, :],
+        final_T=finalT[:height, :],
+        radii=radii, visibility=vis,
+        num_duplicates=nd, max_tile_len=ml, overflow=ov)

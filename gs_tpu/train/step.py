@@ -62,7 +62,9 @@ def apply_exposure(image: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
 def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                     pipe: PipelineConfig, raster: RasterConfig,
                     cams: CameraBatch, spatial_lr_scale: float,
-                    max_sh_degree: int):
+                    max_sh_degree: int, mesh=None):
+    """``mesh`` switches rendering to the shard_map multi-chip path
+    (gaussians sharded over the 'gauss' axis, tiles banded per device)."""
     width, height = cams.width, cams.height
     use_sparse = opt.optimizer_type == "sparse_adam"
     use_exposure = model_cfg.train_test_exp
@@ -72,15 +74,27 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                 invdepth_gt, depth_mask, depth_ok, active_sh_degree,
                 iteration, bg, state_alive):
         masked = mask_sh_rest(params, active_sh_degree)
-        proj = preprocess(masked, cam, active_sh_degree=max_sh_degree,
-                          antialiasing=pipe.antialiasing, alive=state_alive)
-        proj = proj._replace(mean2d=proj.mean2d + tap)
-        out = render_projected(proj, width, height, bg,
-                               backend=raster.backend,
-                               dup_capacity=raster.dup_capacity,
-                               max_per_tile=raster.max_per_tile,
-                               chunk=raster.chunk,
-                               tile_block=raster.tile_block)
+        if mesh is not None:
+            from ..parallel.render_mc import render_multichip
+            out = render_multichip(masked, cam, bg, mesh,
+                                   active_sh_degree=max_sh_degree,
+                                   antialiasing=pipe.antialiasing,
+                                   alive=state_alive, mean2d_tap=tap,
+                                   backend=raster.backend,
+                                   dup_capacity=raster.dup_capacity,
+                                   max_per_tile=raster.max_per_tile,
+                                   chunk=raster.chunk)
+        else:
+            proj = preprocess(masked, cam, active_sh_degree=max_sh_degree,
+                              antialiasing=pipe.antialiasing,
+                              alive=state_alive)
+            proj = proj._replace(mean2d=proj.mean2d + tap)
+            out = render_projected(proj, width, height, bg,
+                                   backend=raster.backend,
+                                   dup_capacity=raster.dup_capacity,
+                                   max_per_tile=raster.max_per_tile,
+                                   chunk=raster.chunk,
+                                   tile_block=raster.tile_block)
         image = out.image
         if use_exposure:
             image = apply_exposure(image, exposure_row)
