@@ -50,6 +50,10 @@ def main(argv=None):
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--block_scan", action="store_true",
+                        help="run schedule-aligned blocks of steps per device "
+                             "dispatch (default on TPU)")
+    parser.add_argument("--no_block_scan", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -114,7 +118,7 @@ def main(argv=None):
         if viewer is not None:
             viewer.poll()
         now = time.perf_counter()
-        if tb_writer is not None:
+        if tb_writer is not None and i % 10 == 0:
             tb_writer.add_scalar("train_loss_patches/total_loss",
                                  float(metrics.loss), i)
             tb_writer.add_scalar("train_loss_patches/l1_loss",
@@ -148,8 +152,13 @@ def main(argv=None):
                 tb_writer.add_scalar(f"{split}/loss_viewpoint - psnr",
                                      r["psnr"], i)
 
+    import jax
+    block_scan = (args.block_scan or jax.default_backend() == "tpu") \
+        and not args.no_block_scan
     elapsed = trainer.train(test_iterations=set(args.test_iterations),
-                            on_step=on_step, on_test=on_test, log_every=1)
+                            on_step=on_step, on_test=on_test, log_every=1,
+                            block_scan=block_scan,
+                            boundary_iterations=save_at | ckpt_at)
     print(f"\nTraining complete ({elapsed:.1f}s).")
     if viewer is not None:
         viewer.close()

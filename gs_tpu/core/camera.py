@@ -75,8 +75,18 @@ def projection_matrix(znear: float, zfar: float, fovx: float, fovy: float) -> np
     return P
 
 
-class Camera(NamedTuple):
-    """A single camera as a pytree of jnp arrays plus static ints.
+import dataclasses
+
+import jax
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """A single camera: array leaves + STATIC (width, height) aux data, so
+    ``jax.jit`` over a Camera keeps the image dimensions compile-time
+    constants (a NamedTuple would trace them and break the static-shape
+    rasterizers).
 
     Use :func:`make_camera` to construct from COLMAP-style (R, t, FoV).
     """
@@ -87,6 +97,15 @@ class Camera(NamedTuple):
     tan_fovy: jnp.ndarray        # scalar
     width: int                   # static
     height: int                  # static
+
+    def tree_flatten(self):
+        children = (self.world_view, self.full_proj, self.camera_center,
+                    self.tan_fovx, self.tan_fovy)
+        return children, (self.width, self.height)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0], aux[1])
 
     @property
     def focal_x(self):
@@ -121,12 +140,14 @@ def make_camera(R: np.ndarray, t: np.ndarray, fovx: float, fovy: float,
     )
 
 
-class CameraBatch(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CameraBatch:
     """A stack of cameras sharing (width, height) — selectable by traced index.
 
     The training loop indexes into this inside jit so the per-iteration camera
     pick does not trigger recompilation (the reference picks a random camera
-    per iteration, ref: train.py:96-98).
+    per iteration, ref: train.py:96-98). (width, height) are static aux data.
     """
     world_view: jnp.ndarray      # [B,4,4]
     full_proj: jnp.ndarray       # [B,4,4]
@@ -135,6 +156,15 @@ class CameraBatch(NamedTuple):
     tan_fovy: jnp.ndarray        # [B]
     width: int
     height: int
+
+    def tree_flatten(self):
+        children = (self.world_view, self.full_proj, self.camera_center,
+                    self.tan_fovx, self.tan_fovy)
+        return children, (self.width, self.height)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0], aux[1])
 
     def __len__(self):
         return self.world_view.shape[0]

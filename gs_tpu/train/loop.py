@@ -85,10 +85,17 @@ class Trainer:
         self._build_step()
         self._camera_stack: list[int] = []
         self.ema_loss = 0.0
+        self.sync_every = 50          # device->host metric fetch cadence
+        self._last_metrics = None
+        self._last_cam = -1
+        self._device_data = None      # lazily built for scan blocks
 
     # ------------------------------------------------------------- plumbing
 
     def _build_step(self):
+        # any re-jit invalidates the scan wrapper built on the old step
+        self._device_data = None
+        self._scan_step = None
         self.train_step = make_train_step(
             self.opt, self.model_cfg, self.pipe, self.raster,
             self.cam_batch, self.spatial_lr_scale, self.model_cfg.sh_degree)
@@ -116,8 +123,14 @@ class Trainer:
 
     # ----------------------------------------------------------------- step
 
-    def step(self) -> StepMetrics:
-        """Run one training iteration (self.iteration advances to i+1)."""
+    def step(self, sync: bool = False) -> StepMetrics:
+        """Run one training iteration (self.iteration advances to i+1).
+
+        Device->host syncs (loss read, overflow check) happen only every
+        ``sync_every`` iterations or when ``sync`` is set — a per-step fetch
+        would serialize the dispatch pipeline (and costs a full round trip on
+        remote-attached TPUs). Returned metrics are device arrays.
+        """
         self.iteration += 1
         i = self.iteration
         idx = self._next_camera()
@@ -132,12 +145,16 @@ class Trainer:
         self.state, metrics = self.train_step(
             self.state, jnp.int32(idx), gt, alpha, invd, dmask, dok,
             jnp.int32(i), self._split_key())
+        self._last_metrics = metrics
+        self._last_cam = idx
 
-        if bool(metrics.overflow):
-            self._handle_overflow(int(metrics.num_duplicates),
-                                  int(metrics.max_tile_len))
+        self._apply_schedule(i)
+        if sync or i % self.sync_every == 0:
+            self.sync_metrics()
+        return metrics
 
-        # densification schedule (ref: train.py:157-167)
+    def _apply_schedule(self, i: int):
+        """Densify/opacity-reset at iteration i (ref: train.py:157-167)."""
         opt = self.opt
         if i < opt.densify_until_iter:
             if i > opt.densify_from_iter and i % opt.densification_interval == 0:
@@ -151,14 +168,70 @@ class Trainer:
                     i == opt.densify_from_iter):
                 self.state = self._reset_opacity(self.state)
 
+    # --------------------------------------------------------- scan blocks
+
+    def _ensure_device_data(self):
+        if self._device_data is None:
+            from .step import make_train_steps_scan
+            use_alpha = self.alphas is not None
+            self._scan_step = make_train_steps_scan(
+                self.train_step, use_alpha=use_alpha,
+                use_depth=self.use_depth)
+            zeros1 = jnp.zeros((1,), jnp.float32)
+            self._device_data = dict(
+                images=jnp.asarray(self.images),
+                alphas=jnp.asarray(self.alphas) if use_alpha else zeros1,
+                invd=jnp.asarray(self.invdepths) if self.use_depth else zeros1,
+                dmask=jnp.asarray(self.depth_masks) if self.use_depth else zeros1,
+                dok=jnp.asarray(self.depth_ok) if self.use_depth else zeros1,
+            )
+
+    def run_block(self, k: int) -> StepMetrics:
+        """Run ``k`` iterations in ONE device dispatch (lax.scan over steps;
+        the ground-truth stack lives on device). The caller must ensure no
+        densify/reset boundary falls inside the block — ``train`` aligns
+        blocks to the schedule."""
+        self._ensure_device_data()
+        idxs = np.array([self._next_camera() for _ in range(k)], np.int32)
+        keys = jax.random.split(self._split_key(), k)
+        d = self._device_data
+        self.state, metrics = self._scan_step(
+            self.state, d["images"], d["alphas"], d["invd"], d["dmask"],
+            d["dok"], jnp.int32(self.iteration), jnp.asarray(idxs), keys)
+        self.iteration += k
+        self._last_metrics = metrics
+        self._last_cam = int(idxs[-1])
+        return metrics
+
+    def _next_boundary(self, i: int, end: int, extra=()) -> int:
+        """Next schedule event strictly after iteration i."""
+        opt = self.opt
+        cands = [end]
+        for interval, limit in ((opt.densification_interval,
+                                 opt.densify_until_iter),
+                                (opt.opacity_reset_interval, end)):
+            if i < limit:
+                cands.append(min((i // interval + 1) * interval, end))
+        if i < opt.densify_from_iter:
+            cands.append(opt.densify_from_iter)
+        cands.extend(e for e in extra if e > i)
+        return max(min(cands), i + 1)
+
+    def sync_metrics(self):
+        """Fetch the latest step metrics to host; handle overflow / NaN."""
+        metrics = self._last_metrics
+        if metrics is None:
+            return
+        if bool(metrics.overflow):
+            self._handle_overflow(int(metrics.num_duplicates),
+                                  int(metrics.max_tile_len))
         loss = float(metrics.loss)
         if not math.isfinite(loss):
-            self._dump_debug(idx)
+            self._dump_debug(self._last_cam)
             raise FloatingPointError(
-                f"non-finite loss at iteration {i} (camera {idx}); state "
-                f"snapshot written next to the model")
+                f"non-finite loss at iteration {self.iteration} (camera "
+                f"{self._last_cam}); state snapshot written next to the model")
         self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss  # ref: train.py:142-148
-        return metrics
 
     def _dump_debug(self, cam_idx: int):
         """Crash snapshot of the rasterizer inputs — the TPU analogue of the
@@ -241,15 +314,31 @@ class Trainer:
               test_iterations: Sequence[int] = (),
               on_step: Optional[Callable] = None,
               on_test: Optional[Callable] = None,
-              log_every: int = 10):
-        """Run until ``iterations`` (defaults to opt.iterations)."""
+              log_every: int = 10, block_scan: bool = False,
+              boundary_iterations: Sequence[int] = ()):
+        """Run until ``iterations`` (defaults to opt.iterations).
+
+        ``block_scan`` runs whole schedule-aligned blocks of steps in one
+        device dispatch each (lax.scan with device-resident images) — the
+        right mode on TPU; per-step mode keeps the reference's loop shape.
+        """
         end = iterations if iterations is not None else self.opt.iterations
+        events = sorted(set(test_iterations) | set(boundary_iterations))
         t0 = time.perf_counter()
         while self.iteration < end:
-            metrics = self.step()
-            i = self.iteration
-            if on_step is not None and i % log_every == 0:
-                on_step(i, metrics, self)
+            if block_scan:
+                nb = self._next_boundary(self.iteration, end, extra=events)
+                metrics = self.run_block(nb - self.iteration)
+                i = self.iteration
+                self._apply_schedule(i)
+                self.sync_metrics()
+                if on_step is not None:
+                    on_step(i, metrics, self)
+            else:
+                metrics = self.step()
+                i = self.iteration
+                if on_step is not None and i % log_every == 0:
+                    on_step(i, metrics, self)
             if i in test_iterations:
                 report = {
                     "test": self.evaluate(self.test_cams),

@@ -118,9 +118,8 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
 
     grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
 
-    @jax.jit
-    def train_step(state: TrainState, cam_idx, gt_image, alpha_mask,
-                   invdepth_gt, depth_mask, depth_ok, iteration, key):
+    def step_core(state: TrainState, cam_idx, gt_image, alpha_mask,
+                  invdepth_gt, depth_mask, depth_ok, iteration, key):
         cam = cams.select(cam_idx)
         active_sh_degree = jnp.minimum(iteration // 1000, max_sh_degree)
 
@@ -163,4 +162,48 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                               n_visible=jnp.sum(out.visibility))
         return state, metrics
 
-    return train_step
+    return jax.jit(step_core)
+
+
+def make_train_steps_scan(train_step, *, use_alpha: bool, use_depth: bool):
+    """Wrap a step built by :func:`make_train_step` into a K-steps-per-dispatch
+    scan with device-resident training data.
+
+    Per-step host dispatch costs a full round trip on remote-attached TPUs
+    (and ~10s of microseconds locally); scanning ``K`` steps inside one jit
+    amortizes it to nothing. The ground-truth stack lives on device and each
+    step slices its image by a traced camera index.
+
+    Returns ``steps(state, images [B,3,H,W], alphas, invd, dmasks, doks,
+    start_iteration, idxs [K], keys [K]) -> (state, last StepMetrics)``.
+    """
+    core = train_step.__wrapped__
+
+    @jax.jit
+    def train_steps(state, images, alphas, invdepths, depth_masks, depth_oks,
+                    start_iteration, idxs, keys):
+        def body(s, inp):
+            off, idx, key = inp
+            gt = images[idx]
+            alpha = alphas[idx] if use_alpha else None
+            if use_depth:
+                invd, dmask, dok = (invdepths[idx], depth_masks[idx],
+                                    depth_oks[idx])
+            else:
+                invd, dmask, dok = None, None, jnp.float32(0.0)
+            s, m = core(s, idx, gt, alpha, invd, dmask, dok,
+                        start_iteration + off, key)
+            return s, m
+
+        k = idxs.shape[0]
+        offs = jnp.arange(1, k + 1, dtype=jnp.int32)
+        state, ms = jax.lax.scan(body, state, (offs, idxs, keys))
+        last = jax.tree.map(lambda x: x[-1], ms)
+        # surface the worst overflow across the block, not just the last step
+        last = last._replace(
+            overflow=jnp.any(ms.overflow),
+            num_duplicates=jnp.max(ms.num_duplicates),
+            max_tile_len=jnp.max(ms.max_tile_len))
+        return state, last
+
+    return train_steps
