@@ -42,6 +42,17 @@ def params_from_ply(d: dict, capacity: int | None = None):
     return params, alive
 
 
+def load_exposures(model_path: str):
+    """image_name -> 3x4 exposure matrix from exposure.json (upstream saves
+    per-image trained exposures; applied when train_test_exp)."""
+    path = os.path.join(model_path, "exposure.json")
+    if not os.path.exists(path):
+        return None
+    import json
+    with open(path) as f:
+        return {k: np.asarray(v, np.float32) for k, v in json.load(f).items()}
+
+
 def render_set(model_path: str, name: str, iteration: int, cams, params,
                alive, sh_degree: int, bg, pipe: PipelineConfig,
                raster: RasterConfig, train_test_exp: bool):
@@ -50,6 +61,7 @@ def render_set(model_path: str, name: str, iteration: int, cams, params,
     gt_dir = os.path.join(model_path, name, f"ours_{iteration}", "gt")
     os.makedirs(render_dir, exist_ok=True)
     os.makedirs(gt_dir, exist_ok=True)
+    exposures = load_exposures(model_path) if train_test_exp else None
     for idx, cam in enumerate(cams):
         out = render(cam.camera, params, bg, active_sh_degree=sh_degree,
                      antialiasing=pipe.antialiasing,
@@ -61,6 +73,10 @@ def render_set(model_path: str, name: str, iteration: int, cams, params,
                      max_per_tile=raster.max_per_tile, chunk=raster.chunk,
                      tile_block=raster.tile_block)
         rendering = np.asarray(out.image)
+        if exposures is not None and cam.info.image_name in exposures:
+            e = exposures[cam.info.image_name]
+            rendering = (np.einsum("chw,ck->khw", rendering, e[:3, :3])
+                         + e[:3, 3, None, None])
         gt = cam.image
         if train_test_exp:   # ref: render.py:41-43
             rendering = rendering[..., rendering.shape[-1] // 2:]
