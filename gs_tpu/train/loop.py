@@ -37,6 +37,41 @@ from ..render import render
 from .step import StepMetrics, make_train_step
 
 
+def _normalize_resolutions(cams: list) -> list:
+    """Training batches require one (W, H); real COLMAP scenes occasionally
+    differ by a pixel after undistortion — resize those to the modal
+    resolution (sub-pixel warp, FoV kept) instead of crashing."""
+    from collections import Counter
+    sizes = Counter((c.camera.width, c.camera.height) for c in cams)
+    if len(sizes) == 1:
+        return cams
+    (w, h), _ = sizes.most_common(1)[0]
+    print(f"[gs_tpu] non-uniform camera resolutions {dict(sizes)}; "
+          f"resizing all to {w}x{h}")
+    from ..core.camera import Camera
+    out = []
+    for c in cams:
+        if (c.camera.width, c.camera.height) == (w, h):
+            out.append(c)
+            continue
+        import cv2
+        img = cv2.resize(c.image.transpose(1, 2, 0), (w, h)).transpose(2, 0, 1)
+        alpha = cv2.resize(c.alpha_mask[0], (w, h))[None]
+        invd = (cv2.resize(c.invdepth, (w, h))
+                if c.invdepth is not None else None)
+        dmask = (cv2.resize(c.depth_mask, (w, h))
+                 if c.depth_mask is not None else None)
+        cam = Camera(world_view=c.camera.world_view,
+                     full_proj=c.camera.full_proj,
+                     camera_center=c.camera.camera_center,
+                     tan_fovx=c.camera.tan_fovx, tan_fovy=c.camera.tan_fovy,
+                     width=w, height=h)
+        out.append(c._replace(camera=cam, image=np.ascontiguousarray(img),
+                              alpha_mask=np.ascontiguousarray(alpha),
+                              invdepth=invd, depth_mask=dmask))
+    return out
+
+
 class Trainer:
     def __init__(self, train_cams: Sequence[LoadedCamera],
                  point_cloud, spatial_lr_scale: float,
@@ -47,7 +82,7 @@ class Trainer:
                  start_iteration: int = 0, seed: int = 0,
                  initial_capacity: Optional[int] = None):
         assert len(train_cams) > 0
-        self.train_cams = list(train_cams)
+        self.train_cams = _normalize_resolutions(list(train_cams))
         self.test_cams = list(test_cams)
         self.model_cfg = model_cfg
         self.opt = opt
