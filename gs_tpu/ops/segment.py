@@ -76,7 +76,10 @@ def segment_sum_compact(values: jnp.ndarray, gid: jnp.ndarray,
     prev = jnp.concatenate([jnp.zeros((1, f), values.dtype), c[:-1]], axis=0)
     seg = c - prev                                       # per-present-gid sum
     out = jnp.zeros((num_segments + 1, f), values.dtype)
-    out = out.at[kk].set(seg, mode='drop', unique_indices=True)
+    # kk ascends by construction (compaction sort) — let XLA skip the
+    # serialization it needs for arbitrary scatter indices
+    out = out.at[kk].set(seg, mode='drop', unique_indices=True,
+                         indices_are_sorted=True)
     return out[:num_segments]
 
 

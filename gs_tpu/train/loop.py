@@ -98,15 +98,22 @@ class Trainer:
         has_alpha = any(c.alpha_mask.min() < 1.0 for c in self.train_cams)
         self.alphas = (np.stack([c.alpha_mask for c in self.train_cams])
                        if has_alpha else None)
-        self.use_depth = all(c.invdepth is not None for c in self.train_cams) \
-            and len(self.train_cams) > 0 and \
-            self.train_cams[0].invdepth is not None
+        # depth priors may cover only part of the cameras (the reference
+        # simply skips the depth term for views without a map); missing views
+        # get zero maps + depth_ok=0 so one jitted step shape serves all
+        self.use_depth = any(c.invdepth is not None for c in self.train_cams)
         if self.use_depth:
-            self.invdepths = np.stack([c.invdepth for c in self.train_cams])
-            self.depth_masks = np.stack([c.depth_mask for c in self.train_cams])
+            h, w = self.train_cams[0].image.shape[1:]
+            zero = np.zeros((h, w), np.float32)
+            self.invdepths = np.stack(
+                [c.invdepth if c.invdepth is not None else zero
+                 for c in self.train_cams])
+            self.depth_masks = np.stack(
+                [c.depth_mask if c.depth_mask is not None else zero
+                 for c in self.train_cams])
             self.depth_ok = np.array(
-                [1.0 if c.depth_reliable else 0.0 for c in self.train_cams],
-                np.float32)
+                [1.0 if (c.invdepth is not None and c.depth_reliable) else 0.0
+                 for c in self.train_cams], np.float32)
 
         if start_state is None:
             pts, cols, _ = point_cloud
