@@ -55,6 +55,11 @@ def main(argv=None):
                              "dispatch (default on TPU)")
     parser.add_argument("--no_block_scan", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--initial_capacity", type=int, default=0,
+                        help="starting gaussian capacity (0 = auto; set "
+                             "generously to avoid growth re-jits when "
+                             "densification is expected to multiply the "
+                             "point count)")
     args = parser.parse_args(argv)
 
     if args.detect_anomaly:
@@ -96,7 +101,8 @@ def main(argv=None):
         spatial_lr_scale=scene.cameras_extent,
         model_cfg=model_cfg, opt=opt, pipe=pipe, raster=raster,
         test_cams=scene.get_test_cameras(),
-        start_state=start_state, start_iteration=start_iter, seed=args.seed)
+        start_state=start_state, start_iteration=start_iter, seed=args.seed,
+        initial_capacity=args.initial_capacity or None)
 
     viewer = None
     if not args.disable_viewer:

@@ -304,11 +304,13 @@ class Trainer:
         self.raster = dataclasses.replace(self.raster, **changes)
         self._build_step()
 
-    def _maybe_grow(self, headroom: float = 0.85):
+    def _maybe_grow(self, headroom: float = 0.85, factor: int = 4):
         n_alive = int(self.state.num_alive)
         cap = self.state.capacity
         if n_alive > headroom * cap:
-            new_cap = cap * 2
+            # grow aggressively: every growth re-jits the train step, which
+            # costs tens of seconds of XLA compile — memory is cheaper
+            new_cap = cap * factor
             print(f"[gs_tpu] capacity {n_alive}/{cap} alive; growing to {new_cap}")
             self.state = grow_capacity(self.state, new_cap)
             self._build_step()
