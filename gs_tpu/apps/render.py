@@ -62,8 +62,12 @@ def render_set(model_path: str, name: str, iteration: int, cams, params,
     os.makedirs(render_dir, exist_ok=True)
     os.makedirs(gt_dir, exist_ok=True)
     exposures = load_exposures(model_path) if train_test_exp else None
-    for idx, cam in enumerate(cams):
-        out = render(cam.camera, params, bg, active_sh_degree=sh_degree,
+
+    import jax
+
+    @jax.jit
+    def render_view(camera):
+        out = render(camera, params, bg, active_sh_degree=sh_degree,
                      antialiasing=pipe.antialiasing,
                      convert_SHs_python=pipe.convert_SHs_python,
                      compute_cov3D_python=pipe.compute_cov3D_python,
@@ -72,7 +76,10 @@ def render_set(model_path: str, name: str, iteration: int, cams, params,
                      dup_capacity=raster.dup_capacity,
                      max_per_tile=raster.max_per_tile, chunk=raster.chunk,
                      tile_block=raster.tile_block)
-        rendering = np.asarray(out.image)
+        return out.image
+
+    for idx, cam in enumerate(cams):
+        rendering = np.asarray(render_view(cam.camera))
         if exposures is not None and cam.info.image_name in exposures:
             e = exposures[cam.info.image_name]
             rendering = (np.einsum("chw,ck->khw", rendering, e[:3, :3])

@@ -317,6 +317,36 @@ class Trainer:
 
     # ----------------------------------------------------------------- eval
 
+    def _eval_render(self, sh_deg: int, white_bg: bool):
+        """Cached jitted per-view render (an unjitted render executes eagerly
+        — hundreds of dispatches per frame)."""
+        key = (sh_deg, white_bg, self.state.capacity,
+               self.raster.dup_capacity, self.raster.max_per_tile)
+        cache = getattr(self, "_eval_render_cache", None)
+        if cache is None:
+            cache = self._eval_render_cache = {}
+        if key not in cache:
+            bg = jnp.ones(3) if white_bg else jnp.zeros(3)
+
+            @jax.jit
+            def render_view(params, alive, cam, scaling_modifier=1.0):
+                out = render(cam, params, bg,
+                             active_sh_degree=sh_deg,
+                             scaling_modifier=scaling_modifier,
+                             antialiasing=self.pipe.antialiasing,
+                             convert_SHs_python=self.pipe.convert_SHs_python,
+                             compute_cov3D_python=self.pipe.compute_cov3D_python,
+                             alive=alive,
+                             backend=self.raster.backend,
+                             dup_capacity=self.raster.dup_capacity,
+                             max_per_tile=self.raster.max_per_tile,
+                             chunk=self.raster.chunk,
+                             tile_block=self.raster.tile_block)
+                return jnp.clip(out.image, 0.0, 1.0)
+
+            cache[key] = render_view
+        return cache[key]
+
     def evaluate(self, cams: Sequence[LoadedCamera],
                  max_views: Optional[int] = None) -> dict:
         """L1 + PSNR over a camera list (ref: train.py:207-242 training_report)."""
@@ -326,20 +356,12 @@ class Trainer:
             return {}
         bg = jnp.ones(3) if self.model_cfg.white_background else jnp.zeros(3)
         sh_deg = min(self.iteration // 1000, self.model_cfg.sh_degree)
+        render_view = self._eval_render(sh_deg, bool(
+            self.model_cfg.white_background))
+
         l1s, psnrs = [], []
         for c in cams:
-            out = render(c.camera, self.state.params, bg,
-                         active_sh_degree=sh_deg,
-                         antialiasing=self.pipe.antialiasing,
-                         convert_SHs_python=self.pipe.convert_SHs_python,
-                         compute_cov3D_python=self.pipe.compute_cov3D_python,
-                         alive=self.state.alive,
-                         backend=self.raster.backend,
-                         dup_capacity=self.raster.dup_capacity,
-                         max_per_tile=self.raster.max_per_tile,
-                         chunk=self.raster.chunk,
-                         tile_block=self.raster.tile_block)
-            img = jnp.clip(out.image, 0.0, 1.0)
+            img = render_view(self.state.params, self.state.alive, c.camera)
             gt = jnp.asarray(c.image)
             if self.model_cfg.train_test_exp:
                 # score the right half only (ref: train.py:216-219 intent,

@@ -106,20 +106,14 @@ class ViewerServer:
             img = self.render_fn(cam, scaling_modifier)
         else:
             tr = self.trainer
-            bg = (jnp.ones(3) if tr.model_cfg.white_background
-                  else jnp.zeros(3))
             sh_deg = min(tr.iteration // 1000, tr.model_cfg.sh_degree)
-            out = render(cam, tr.state.params, bg,
-                         active_sh_degree=sh_deg,
-                         scaling_modifier=scaling_modifier,
-                         antialiasing=tr.pipe.antialiasing,
-                         alive=tr.state.alive,
-                         backend=tr.raster.backend,
-                         dup_capacity=tr.raster.dup_capacity,
-                         max_per_tile=tr.raster.max_per_tile,
-                         chunk=tr.raster.chunk,
-                         tile_block=tr.raster.tile_block)
-            img = out.image
+            # reuse the trainer's cached jitted per-view render; Cameras
+            # carry static (width, height), so each viewer resolution
+            # compiles once
+            render_view = tr._eval_render(
+                sh_deg, bool(tr.model_cfg.white_background))
+            img = render_view(tr.state.params, tr.state.alive, cam,
+                              jnp.float32(scaling_modifier))
         arr = np.asarray(jnp.clip(img, 0.0, 1.0))
         return (arr * 255).astype(np.uint8).transpose(1, 2, 0).tobytes()
 
