@@ -157,6 +157,15 @@ def main(argv=None):
                                      r["l1"], i)
                 tb_writer.add_scalar(f"{split}/loss_viewpoint - psnr",
                                      r["psnr"], i)
+        if tb_writer is not None:
+            # opacity histogram + total points (ref: train.py:239-241)
+            import jax
+            from gs_tpu.core.gaussians import get_opacity
+            op = np.asarray(get_opacity(jax.device_get(tr.state.params)))
+            alive = np.asarray(tr.state.alive)
+            tb_writer.add_histogram("scene/opacity_histogram",
+                                    op[alive], i)
+            tb_writer.add_scalar("total_points", int(alive.sum()), i)
 
     import jax
     block_scan = (args.block_scan or jax.default_backend() == "tpu") \
