@@ -73,16 +73,15 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     counts = jnp.where(visible_s, span_w * span_h, 0)
     total = jnp.sum(counts)
 
-    # expansion: entry e belongs to depth-sorted gaussian rep[e].
-    # All per-gaussian quantities are packed into ONE row table so the
-    # expansion is a single row gather — five separate scalar gathers
-    # measured 5x slower on v5e.
-    rep = jnp.repeat(jnp.arange(n, dtype=jnp.int32), counts,
-                     total_repeat_length=capacity)
+    # expansion: per-gaussian rows repeated by their touched-tile counts.
+    # jnp.repeat on whole rows is the cheapest expansion on v5e (~24 ms at
+    # 4.2M rows); index-array construction + row gathers measured ~3x more,
+    # per-column scalar gathers ~7x.
     offsets = jnp.cumsum(counts) - counts                # exclusive
     table = jnp.stack([offsets, rx0, ry0, jnp.maximum(span_w, 1),
                        order.astype(jnp.int32)], axis=1)  # [N, 5]
-    rows = table[rep]                                    # [D, 5] monotone
+    rows = jnp.repeat(table, counts, axis=0,
+                      total_repeat_length=capacity)      # [D, 5]
     eidx = jnp.arange(capacity, dtype=jnp.int32)
     local = eidx - rows[:, 0]
     sw = rows[:, 3]
@@ -97,7 +96,8 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     if payload is not None:
         f = payload.shape[1]
         payload_s = jnp.take(payload, order, axis=0)     # [N, F]
-        exp = payload_s[rep]                             # [D, F] monotone
+        exp = jnp.repeat(payload_s, counts, axis=0,
+                         total_repeat_length=capacity)   # [D, F]
         ops = jax.lax.sort((tile_key, rows[:, 4]) +
                            tuple(exp[:, i] for i in range(f)),
                            dimension=0, is_stable=True, num_keys=1)
