@@ -347,6 +347,38 @@ def reset_opacity(state: TrainState) -> TrainState:
 
 # -------------------------------------------------- capacity management
 
+def compact(state: TrainState, capacity: Optional[int] = None) -> TrainState:
+    """Gather alive rows to the front and optionally shrink capacity.
+
+    Host-side (forces a re-jit, like grow_capacity). Used after heavy
+    pruning or before serving: the padded dead slots stop costing preprocess
+    FLOPs and memory. Order of alive gaussians is preserved.
+    """
+    alive = np.asarray(state.alive)
+    idx = np.flatnonzero(alive)
+    n = len(idx)
+    if capacity is None:
+        capacity = max(1 << int(math.ceil(math.log2(max(n, 1) * 2))), 1024)
+    assert capacity >= n
+    c = state.capacity
+    take = jnp.asarray(np.concatenate([idx, np.zeros(capacity - n, np.int64)]))
+    keep = jnp.arange(capacity) < n
+
+    def pick(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == c:
+            out = jnp.take(x, take, axis=0)
+            mask = keep.reshape((-1,) + (1,) * (out.ndim - 1))
+            return jnp.where(mask, out, jnp.zeros_like(out))
+        return x
+
+    new = jax.tree.map(pick, state)
+    params = new.params._replace(
+        quat=new.params.quat.at[n:, 0].set(1.0),
+        log_scale=new.params.log_scale.at[n:].set(-10.0),
+        logit_opacity=new.params.logit_opacity.at[n:].set(-10.0))
+    return new._replace(params=params, alive=keep)
+
+
 def grow_capacity(state: TrainState, new_capacity: int) -> TrainState:
     """Host-side re-pad of every [C, ...] array (forces one re-jit)."""
     c = state.capacity

@@ -139,3 +139,28 @@ def test_grow_capacity():
     assert int(st2.num_alive) == 8
     np.testing.assert_allclose(np.asarray(st2.params.xyz[:16]),
                                np.asarray(st.params.xyz))
+
+
+def test_compact(rng):
+    import numpy as np
+    import jax.numpy as jnp
+    from gs_tpu.models.gaussian_model import compact, create_from_pcd, init_state
+    pts = np.asarray(rng.uniform(-1, 1, (100, 3)))
+    cols = np.asarray(rng.uniform(0, 1, (100, 3)))
+    params, alive = create_from_pcd(pts, cols, sh_degree=1, capacity=512)
+    state = init_state(params, alive, 1)
+    # kill every other gaussian
+    mask = np.zeros(512, bool)
+    mask[:100:2] = True
+    state = state._replace(alive=jnp.asarray(mask),
+                           grad_accum=jnp.arange(512, dtype=jnp.float32))
+    out = compact(state, capacity=128)
+    assert out.capacity == 128
+    assert int(out.num_alive) == 50
+    np.testing.assert_allclose(np.asarray(out.params.xyz[:50]),
+                               pts[:100:2], atol=1e-6)
+    # stats follow their rows
+    np.testing.assert_allclose(np.asarray(out.grad_accum[:50]),
+                               np.arange(0, 100, 2, dtype=np.float32))
+    # padding slots are render-safe
+    assert np.all(np.asarray(out.params.logit_opacity[50:]) == -10.0)
