@@ -47,7 +47,13 @@ def main(argv=None):
                         default=[7_000, 30_000])
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
                         default=[])
+    parser.add_argument("--checkpoint_every", type=int, default=0,
+                        help="periodic checkpoint interval (recovery story: "
+                             "crash -> --resume restarts from the latest)")
     parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the newest chkpnt*.pth in the "
+                             "model dir, if any")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--detect_anomaly", action="store_true")
     parser.add_argument("--block_scan", action="store_true",
@@ -92,9 +98,17 @@ def main(argv=None):
                   train_test_exp=model_cfg.train_test_exp)
 
     start_state, start_iter = None, 0
-    if args.start_checkpoint:
-        start_state, start_iter, slrs = load_checkpoint(args.start_checkpoint)
-        print(f"Resumed from {args.start_checkpoint} at iteration {start_iter}")
+    ckpt_path = args.start_checkpoint
+    if args.resume and not ckpt_path:
+        import glob
+        import re
+        cands = glob.glob(os.path.join(model_cfg.model_path, "chkpnt*.pth"))
+        if cands:
+            ckpt_path = max(cands, key=lambda p: int(
+                re.search(r"chkpnt(\d+)", p).group(1)))
+    if ckpt_path:
+        start_state, start_iter, slrs = load_checkpoint(ckpt_path)
+        print(f"Resumed from {ckpt_path} at iteration {start_iter}")
 
     trainer = Trainer(
         scene.get_train_cameras(), scene.point_cloud,
@@ -141,7 +155,9 @@ def main(argv=None):
             scene.save(i, tr.state.params, np.asarray(tr.state.alive),
                        exposure=tr.state.exposure
                        if model_cfg.train_test_exp else None)
-        if i in ckpt_at:
+        periodic = (args.checkpoint_every > 0 and
+                    i % args.checkpoint_every == 0 and i != start_iter)
+        if i in ckpt_at or periodic:
             print(f"\n[ITER {i}] Saving Checkpoint")
             save_checkpoint(os.path.join(model_cfg.model_path, f"chkpnt{i}.pth"),
                             tr.state, i, tr.spatial_lr_scale)
@@ -170,10 +186,14 @@ def main(argv=None):
     import jax
     block_scan = (args.block_scan or jax.default_backend() == "tpu") \
         and not args.no_block_scan
+    boundaries = set(save_at) | set(ckpt_at)
+    if args.checkpoint_every > 0:
+        boundaries |= set(range(args.checkpoint_every, opt.iterations + 1,
+                                args.checkpoint_every))
     elapsed = trainer.train(test_iterations=set(args.test_iterations),
                             on_step=on_step, on_test=on_test, log_every=1,
                             block_scan=block_scan,
-                            boundary_iterations=save_at | ckpt_at)
+                            boundary_iterations=boundaries)
     print(f"\nTraining complete ({elapsed:.1f}s).")
     if viewer is not None:
         viewer.close()
