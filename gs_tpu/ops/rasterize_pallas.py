@@ -108,61 +108,66 @@ def _chunk_dma(feats_hbm, fbuf, sem, base, k, slot):
 
 
 def _fwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_ref,
-                fbuf, sem, *, gx, tile_x, tile_y, pix, max_chunks):
-    t = pl.program_id(0)
-    start = tile_start_ref[t]
-    end = tile_end_ref[t]
-    base = pl.multiple_of((start // CS) * CS, CS)
-    nchunks = jnp.minimum(pl.cdiv(end - base, CS), max_chunks)
+                fbuf, sem, *, gx, tile_x, tile_y, pix, max_chunks,
+                tiles_per_program):
     l_incl, _ = _tri_matrices(CS)
-    px, py = _pixel_rows(t, gx, tile_x, tile_y, pix)
+    for tb in range(tiles_per_program):                  # static unroll
+        t = pl.program_id(0) * tiles_per_program + tb
+        start = tile_start_ref[t]
+        end = tile_end_ref[t]
+        base = pl.multiple_of((start // CS) * CS, CS)
+        nchunks = jnp.minimum(pl.cdiv(end - base, CS), max_chunks)
+        px, py = _pixel_rows(t, gx, tile_x, tile_y, pix)
 
-    out_ref[0] = jnp.zeros((8, pix), jnp.float32)
-    out_ref[0, 4:5] = jnp.ones((1, pix), jnp.float32)   # running T
-    out_ref[0, 5:6] = jnp.ones((1, pix), jnp.float32)   # frozen T (Tmin)
+        out_ref[tb] = jnp.zeros((8, pix), jnp.float32)
+        out_ref[tb, 4:5] = jnp.ones((1, pix), jnp.float32)   # running T
+        out_ref[tb, 5:6] = jnp.ones((1, pix), jnp.float32)   # frozen T
 
-    @pl.when(nchunks > 0)
-    def _():
-        _chunk_dma(feats_hbm, fbuf, sem, base, 0, 0).start()
+        @pl.when(nchunks > 0)
+        def _(base=base):
+            _chunk_dma(feats_hbm, fbuf, sem, base, 0, 0).start()
 
-    # fori with double-buffered DMA: the next chunk streams while the current
-    # one composites; early-terminated tiles skip the compute (the DMA still
-    # streams so every started copy is awaited)
-    def body(k, umax):
-        slot = jax.lax.rem(k, 2)
+        # fori with double-buffered DMA: the next chunk streams while the
+        # current one composites; early-terminated tiles skip the compute
+        # (the DMA still streams so every started copy is awaited)
+        def body(k, umax, tb=tb, base=base, nchunks=nchunks, start=start,
+                 end=end, px=px, py=py):
+            slot = jax.lax.rem(k, 2)
 
-        @pl.when(k + 1 < nchunks)
-        def _():
-            _chunk_dma(feats_hbm, fbuf, sem, base, k + 1, 1 - slot).start()
+            @pl.when(k + 1 < nchunks)
+            def _():
+                _chunk_dma(feats_hbm, fbuf, sem, base, k + 1,
+                           1 - slot).start()
 
-        _chunk_dma(feats_hbm, fbuf, sem, base, k, slot).wait()
+            _chunk_dma(feats_hbm, fbuf, sem, base, k, slot).wait()
 
-        @pl.when(umax >= T_EPS)
-        def _():
-            f = fbuf[slot].T                             # [CS, NFEAT]
-            vmask = _entry_mask(base, k, start, end)
-            alpha, _, _, _, _, _ = _chunk_alpha(f, vmask, px, py)
+            @pl.when(umax >= T_EPS)
+            def _():
+                f = fbuf[slot].T                         # [CS, NFEAT]
+                vmask = _entry_mask(base, k, start, end)
+                alpha, _, _, _, _, _ = _chunk_alpha(f, vmask, px, py)
 
-            lg = jnp.log1p(-alpha)                       # [CS, PIX]
-            cum = jnp.dot(l_incl, lg, preferred_element_type=jnp.float32)
-            u_prev = out_ref[0, 4:5]                     # [1, PIX]
-            u_incl = u_prev * jnp.exp(cum)
-            u_excl = u_prev * jnp.exp(cum - lg)
-            live = (u_incl >= T_EPS).astype(jnp.float32)
-            w = alpha * u_excl * live                    # [CS, PIX]
+                lg = jnp.log1p(-alpha)                   # [CS, PIX]
+                cum = jnp.dot(l_incl, lg,
+                              preferred_element_type=jnp.float32)
+                u_prev = out_ref[tb, 4:5]                # [1, PIX]
+                u_incl = u_prev * jnp.exp(cum)
+                u_excl = u_prev * jnp.exp(cum - lg)
+                live = (u_incl >= T_EPS).astype(jnp.float32)
+                w = alpha * u_excl * live                # [CS, PIX]
 
-            contrib = jax.lax.dot_general(
-                f[:, 6:10], w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [4, PIX]
-            out_ref[0, 0:4] += contrib
-            tmin = jnp.min(jnp.where(live > 0, u_incl, jnp.inf), axis=0,
-                           keepdims=True)
-            out_ref[0, 5:6] = jnp.minimum(out_ref[0, 5:6], tmin)
-            out_ref[0, 4:5] = u_incl[CS - 1:CS, :]
+                contrib = jax.lax.dot_general(
+                    f[:, 6:10], w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [4, PIX]
+                out_ref[tb, 0:4] += contrib
+                tmin = jnp.min(jnp.where(live > 0, u_incl, jnp.inf), axis=0,
+                               keepdims=True)
+                out_ref[tb, 5:6] = jnp.minimum(out_ref[tb, 5:6], tmin)
+                out_ref[tb, 4:5] = u_incl[CS - 1:CS, :]
 
-        return jnp.max(out_ref[0, 4:5])
+            return jnp.max(out_ref[tb, 4:5])
 
-    jax.lax.fori_loop(0, nchunks, body, jnp.float32(1.0))
+        jax.lax.fori_loop(0, nchunks, body, jnp.float32(1.0))
 
 
 def _bwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_fwd_ref,
@@ -332,6 +337,8 @@ class _Statics(NamedTuple):
     tile_y: int
     max_chunks: int
     interpret: bool
+    tiles_per_program: int = 1   # fwd grid batching (amortizes per-program
+                                 # overhead; tile count is padded to a multiple)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -343,11 +350,17 @@ def _raster_tiles(feats, tile_start, tile_end, statics: _Statics):
 def _raster_tiles_fwd(feats, tile_start, tile_end, statics: _Statics):
     s = statics
     pix = s.tile_x * s.tile_y
+    tbp = s.tiles_per_program
+    t_pad = -(-s.num_tiles // tbp) * tbp
+    if t_pad != tile_start.shape[0]:
+        pad = t_pad - tile_start.shape[0]
+        tile_start = jnp.pad(tile_start, (0, pad))
+        tile_end = jnp.pad(tile_end, (0, pad))   # empty padded tiles
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(s.num_tiles,),
+        grid=(t_pad // tbp,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=pl.BlockSpec((1, 8, pix), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((tbp, 8, pix), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, NFEAT, CS), jnp.float32),
@@ -356,14 +369,16 @@ def _raster_tiles_fwd(feats, tile_start, tile_end, statics: _Statics):
     )
     kernel = functools.partial(_fwd_kernel, gx=s.gx, tile_x=s.tile_x,
                                tile_y=s.tile_y, pix=pix,
-                               max_chunks=s.max_chunks)
+                               max_chunks=s.max_chunks,
+                               tiles_per_program=tbp)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((s.num_tiles, 8, pix), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, 8, pix), jnp.float32),
         interpret=s.interpret,
     )(tile_start, tile_end, feats)
-    return out, (feats, tile_start, tile_end, out)
+    out = out[:s.num_tiles]
+    return out, (feats, tile_start[:s.num_tiles], tile_end[:s.num_tiles], out)
 
 
 def _raster_tiles_bwd(statics: _Statics, residuals, dout):
@@ -472,7 +487,7 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
 
     statics = _Statics(num_tiles=num_tiles, gx=gx, tile_x=tile_x,
                        tile_y=tile_y, max_chunks=max_chunks,
-                       interpret=interpret)
+                       interpret=interpret, tiles_per_program=4)
     out = _raster_tiles(feats, bins.tile_start, bins.tile_end, statics)
 
     color = out[:, 0:3, :]                               # [T, 3, PIX]
