@@ -300,7 +300,8 @@ class Trainer:
         if not changes:
             return
         print(f"[gs_tpu] binning overflow (dups={num_duplicates}, "
-              f"max_tile={max_tile_len}); re-jitting with {changes}")
+              f"max_tile={max_tile_len}); re-jitting with {changes}",
+              flush=True)
         self.raster = dataclasses.replace(self.raster, **changes)
         self._build_step()
 
@@ -311,7 +312,8 @@ class Trainer:
             # grow aggressively: every growth re-jits the train step, which
             # costs tens of seconds of XLA compile — memory is cheaper
             new_cap = cap * factor
-            print(f"[gs_tpu] capacity {n_alive}/{cap} alive; growing to {new_cap}")
+            print(f"[gs_tpu] capacity {n_alive}/{cap} alive; "
+                  f"growing to {new_cap}", flush=True)
             self.state = grow_capacity(self.state, new_cap)
             self._build_step()
 
