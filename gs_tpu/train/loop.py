@@ -80,8 +80,12 @@ class Trainer:
                  test_cams: Sequence[LoadedCamera] = (),
                  start_state: Optional[TrainState] = None,
                  start_iteration: int = 0, seed: int = 0,
-                 initial_capacity: Optional[int] = None):
+                 initial_capacity: Optional[int] = None,
+                 mesh=None):
+        """``mesh`` (a jax Mesh with a 'gauss' axis) shards the Gaussian
+        state over devices and renders via the shard_map multi-chip path."""
         assert len(train_cams) > 0
+        self.mesh = mesh
         self.train_cams = _normalize_resolutions(list(train_cams))
         self.test_cams = list(test_cams)
         self.model_cfg = model_cfg
@@ -123,6 +127,14 @@ class Trainer:
                                     num_images=len(self.train_cams))
         else:
             self.state = start_state
+        if mesh is not None:
+            from ..parallel.mesh import shard_state
+            if self.state.capacity % mesh.devices.size != 0:
+                self.state = grow_capacity(
+                    self.state,
+                    -(-self.state.capacity // mesh.devices.size)
+                    * mesh.devices.size)
+            self.state = shard_state(self.state, mesh)
 
         self._build_step()
         self._camera_stack: list[int] = []
@@ -140,7 +152,8 @@ class Trainer:
         self._scan_step = None
         self.train_step = make_train_step(
             self.opt, self.model_cfg, self.pipe, self.raster,
-            self.cam_batch, self.spatial_lr_scale, self.model_cfg.sh_degree)
+            self.cam_batch, self.spatial_lr_scale, self.model_cfg.sh_degree,
+            mesh=self.mesh)
         # spatial_lr_scale IS the scene extent: the reference assigns
         # cameras_extent to both (scene/__init__.py passes it as
         # spatial_lr_scale; train.py:161 uses it as the densify extent)

@@ -105,3 +105,48 @@ def test_multichip_tap_gradient(scene):
     s = max(np.abs(np.asarray(g1)).max(), 1e-8)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                atol=3e-4 * s, rtol=2e-3)
+
+
+def test_trainer_with_mesh(scene):
+    """Trainer(mesh=...) trains with sharded state end-to-end."""
+    import numpy as np
+    from gs_tpu.config import (ModelConfig, OptimizationConfig,
+                               PipelineConfig, RasterConfig)
+    from gs_tpu.data.camera_utils import LoadedCamera
+    from gs_tpu.data.dataset_readers import CameraInfo
+    from gs_tpu.train.loop import Trainer
+    rng = np.random.default_rng(4)
+    params, cam, bg = scene
+    cams = []
+    for i in range(3):
+        info = CameraInfo(uid=i, R=np.eye(3), T=np.zeros(3), fovx=1.0,
+                          fovy=0.8, image_path="", image_name=f"v{i}",
+                          width=cam.width, height=cam.height)
+        cams.append(LoadedCamera(
+            camera=cam, info=info,
+            image=rng.uniform(0, 1, (3, cam.height, cam.width)).astype(np.float32),
+            alpha_mask=np.ones((1, cam.height, cam.width), np.float32),
+            invdepth=None, depth_mask=None, depth_reliable=False))
+    pts = np.concatenate([rng.uniform(-1, 1, (64, 2)),
+                          rng.uniform(3, 5, (64, 1))], 1)
+    cols = rng.uniform(0, 1, (64, 3))
+    mesh = make_mesh(8)
+    tr = Trainer(cams, (pts, cols, np.zeros_like(pts)), spatial_lr_scale=1.0,
+                 model_cfg=ModelConfig(sh_degree=1),
+                 opt=OptimizationConfig(iterations=20,
+                                        position_lr_max_steps=20,
+                                        densify_from_iter=5,
+                                        densification_interval=10,
+                                        densify_until_iter=15),
+                 pipe=PipelineConfig(),
+                 raster=RasterConfig(backend="binned", dup_capacity=1 << 13,
+                                     max_per_tile=256, chunk=64),
+                 initial_capacity=256, mesh=mesh)
+    for _ in range(12):
+        tr.step()
+    tr.sync_metrics()
+    assert np.isfinite(tr.ema_loss)
+    # state stays sharded over the gauss axis
+    sh = tr.state.params.xyz.sharding
+    assert "gauss" in str(sh.spec) or not sh.is_fully_replicated
+    assert tr.evaluate(cams[:1])["psnr"] > 0
