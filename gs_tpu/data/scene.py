@@ -114,9 +114,15 @@ class Scene:
             log_scale=np.asarray(params.log_scale)[mask],
             quat=np.asarray(params.quat)[mask])
         if exposure is not None:
-            # upstream saves exposure.json mapping image name -> 3x4 matrix
-            names = [c.image_name for c in (self.scene_info.train_cameras +
-                                            self.scene_info.test_cameras)]
+            # upstream saves exposure.json mapping image name -> 3x4 matrix.
+            # The trainer indexes state.exposure by position in the LOADED
+            # (shuffled) train-camera list, so the mapping must be built from
+            # that same order — not from the unshuffled scene_info order.
+            scale = (1.0 if 1.0 in self.train_cameras
+                     else next(iter(self.train_cameras)))
+            names = [c.info.image_name
+                     for c in (self.train_cameras[scale] +
+                               self.test_cameras.get(scale, []))]
             exp = np.asarray(exposure)
             mapping = {n: exp[min(i, len(exp) - 1)].tolist()
                        for i, n in enumerate(names)}

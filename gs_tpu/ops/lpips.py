@@ -109,10 +109,12 @@ def lpips_vgg(weights_path: str | None = None):
 
     @jax.jit
     def f(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
-        # LPIPS expects inputs in [-1, 1] (the reference metrics harness
-        # passes [0,1] images to lpips(...), which scales internally)
-        x1 = (img1[None] * 2.0 - 1.0 - shift) / scale
-        x2 = (img2[None] * 2.0 - 1.0 - shift) / scale
+        # the reference's vendored lpipsPyTorch z-scores the RAW input
+        # (networks.py BaseNet.z_score: (x - shift) / scale, no internal
+        # [-1,1] rescale), and metrics.py:74 passes [0,1] images — match
+        # that exactly so reported LPIPS is comparable
+        x1 = (img1[None] - shift) / scale
+        x2 = (img2[None] - shift) / scale
         f1 = _vgg_features(x1, weights)
         f2 = _vgg_features(x2, weights)
         total = jnp.float32(0.0)

@@ -31,10 +31,13 @@ def segment_sum_sorted(values: jnp.ndarray, gid: jnp.ndarray,
     is_last = sgid != nxt                                # [D]
     # scatter the cumulative value at each run's end into its segment slot;
     # indices are unique by construction
+    # sentinel = num_segments is OUT of bounds for the num_segments-row
+    # buffer, so mode='drop' discards it and the remaining indices are
+    # genuinely unique (a (num_segments+1)-row buffer would receive many
+    # duplicate sentinel rows, violating the unique_indices promise)
     safe_gid = jnp.where(is_last, sgid, num_segments)
-    ends = jnp.zeros((num_segments + 1, f), values.dtype)
+    ends = jnp.zeros((num_segments, f), values.dtype)
     ends = ends.at[safe_gid].set(cum, mode='drop', unique_indices=True)
-    ends = ends[:num_segments]
     # per-segment sum = cum[end of run] - cum[end of previous nonempty run];
     # forward-fill empty segments with the previous run's cumulative value
     filled = jnp.zeros((num_segments,), bool).at[
@@ -75,12 +78,14 @@ def segment_sum_compact(values: jnp.ndarray, gid: jnp.ndarray,
     c = jnp.stack(ops2[1:], axis=1)[:num_segments]       # their cumsums
     prev = jnp.concatenate([jnp.zeros((1, f), values.dtype), c[:-1]], axis=0)
     seg = c - prev                                       # per-present-gid sum
-    out = jnp.zeros((num_segments + 1, f), values.dtype)
+    out = jnp.zeros((num_segments, f), values.dtype)
     # kk ascends by construction (compaction sort) — let XLA skip the
-    # serialization it needs for arbitrary scatter indices
+    # serialization it needs for arbitrary scatter indices. Sentinel
+    # indices (== num_segments, for absent gids) fall out of bounds and
+    # are dropped, keeping the in-bounds indices genuinely unique.
     out = out.at[kk].set(seg, mode='drop', unique_indices=True,
                          indices_are_sorted=True)
-    return out[:num_segments]
+    return out
 
 
 def _segment_sum_scan_free(values, gid, num_segments):
@@ -94,15 +99,18 @@ def _segment_sum_scan_free(values, gid, num_segments):
     cum = jnp.cumsum(data, axis=0)
     nxt = jnp.concatenate([sgid[1:], jnp.full((1,), -1, sgid.dtype)])
     is_last = sgid != nxt
+    # sentinel = num_segments is OUT of bounds for the num_segments-row
+    # buffer, so mode='drop' discards it and the remaining indices are
+    # genuinely unique (a (num_segments+1)-row buffer would receive many
+    # duplicate sentinel rows, violating the unique_indices promise)
     safe_gid = jnp.where(is_last, sgid, num_segments)
-    ends = jnp.zeros((num_segments + 1, f), values.dtype)
+    ends = jnp.zeros((num_segments, f), values.dtype)
     ends = ends.at[safe_gid].set(cum, mode='drop', unique_indices=True)
-    ends = ends[:num_segments]
     # which segment slot holds the latest run at-or-before g: propagate the
     # index of the last nonempty segment with a cummax, then gather
     idx = jnp.arange(num_segments, dtype=jnp.int32)
-    has = jnp.zeros((num_segments + 1,), bool).at[safe_gid].set(
-        True, mode='drop', unique_indices=True)[:num_segments]
+    has = jnp.zeros((num_segments,), bool).at[safe_gid].set(
+        True, mode='drop', unique_indices=True)
     last_idx = jax.lax.cummax(jnp.where(has, idx, -1))
     prev_idx = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
                                 last_idx[:-1]])
@@ -111,6 +119,40 @@ def _segment_sum_scan_free(values, gid, num_segments):
     cur = ends_z[jnp.where(has, idx, prev_idx) + 1]
     prv = ends_z[prev_idx + 1]
     return jnp.where(has[:, None], cur - prv, 0.0)
+
+
+def segment_sum_runend(value_cols, gid: jnp.ndarray, counts: jnp.ndarray,
+                       num_segments: int) -> jnp.ndarray:
+    """Segment sum when per-segment COUNTS are already known (the binning
+    stage knows exactly how many entries each gaussian produced).
+
+    Avoids both the boundary detection and the compaction sort of
+    :func:`segment_sum_compact`: one sort groups the entries by gid, then the
+    per-segment sum is ``cum[run_end] - cum[prev_run_end]`` where the run end
+    positions come directly from ``cumsum(counts)``. Everything stays in
+    structure-of-arrays form — stacking D-row [D, F] intermediates measured
+    ~10x the cost of the per-column 1D ops on v5e.
+
+    value_cols: tuple/list of F arrays [D] (or an [D, F] array)
+    gid: [D] int32; entries not belonging to any segment MUST carry a
+         sentinel >= num_segments (they sort to the end, past all runs)
+    counts: [num_segments] int32 — exact number of entries per segment
+    Returns [num_segments, F].
+    """
+    if hasattr(value_cols, 'ndim') and value_cols.ndim == 2:
+        value_cols = tuple(value_cols[:, i] for i in range(value_cols.shape[1]))
+    f = len(value_cols)
+    ops = jax.lax.sort((gid,) + tuple(value_cols), dimension=0,
+                       is_stable=False, num_keys=1)
+    zero = jnp.zeros((1,), value_cols[0].dtype)
+    cums = [jnp.concatenate([zero, jnp.cumsum(ops[1 + i])])
+            for i in range(f)]                              # [D+1] each
+    cc = jnp.cumsum(counts)                                 # [S]
+    p1 = cc                                                 # run end + 1
+    p0 = jnp.concatenate([jnp.zeros((1,), cc.dtype), cc[:-1]])
+    outs = [jnp.take(c, p1, indices_are_sorted=True)
+            - jnp.take(c, p0, indices_are_sorted=True) for c in cums]
+    return jnp.stack(outs, axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

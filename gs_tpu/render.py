@@ -38,6 +38,9 @@ class RenderOutput(NamedTuple):
     num_duplicates: jnp.ndarray  # [] int32 (binned backends)
     max_tile_len: jnp.ndarray    # [] int32 longest per-tile list
     overflow: jnp.ndarray     # [] bool
+    band_duplicates: Optional[jnp.ndarray] = None  # [k] per-device band
+    # duplicate counts (multichip path only) — the tile-band load-balance
+    # diagnostic; max/mean of this is the imbalance factor
 
 
 def resolve_backend(backend: str) -> str:
@@ -69,8 +72,12 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
     switches (ref: gaussian_renderer/__init__.py:63-84,
     arguments/__init__.py:67-68); the math is identical.
     """
+    # cov3D_python is independent of override_color (the reference computes
+    # cov3D_precomp unconditionally when the flag is set,
+    # gaussian_renderer/__init__.py:63-67); only the SH debug path is gated
+    # on no override color being supplied
     cov3d_precomp = None
-    if compute_cov3D_python and override_color is None:
+    if compute_cov3D_python:
         from .core.gaussians import covariance_3d, get_scaling
         cov3d_precomp = covariance_3d(get_scaling(params), scaling_modifier,
                                       params.quat)
@@ -96,18 +103,25 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
 def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
                      *, backend: str = "binned", dup_capacity: int = 1 << 18,
                      max_per_tile: int = 1024, chunk: int = 64,
-                     tile_block: int = 0) -> RenderOutput:
+                     tile_block: int = 0, row_phase=0,
+                     row_stride: int = 1) -> RenderOutput:
+    """``row_phase`` (traced ok) / ``row_stride`` (static): render only the
+    global tile rows phase + j*stride into the local height — the
+    interleaved multi-chip band assignment (parallel/render_mc.py)."""
     backend = resolve_backend(backend)
     zero_i = jnp.int32(0)
     if backend == "depthwise":
+        assert row_stride == 1, "depthwise oracle renders full frames only"
         image, invd, finalT = rasterize_depthwise(
             proj, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y, chunk=chunk)
         nd, ml, ov = zero_i, zero_i, jnp.bool_(False)
     elif backend == "binned":
-        bins = bin_gaussians(proj, width, height, TILE_X, TILE_Y, dup_capacity)
+        bins = bin_gaussians(proj, width, height, TILE_X, TILE_Y, dup_capacity,
+                             row_phase=row_phase, row_stride=row_stride)
         image, invd, finalT = rasterize_binned(
             proj, bins, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y,
-            max_per_tile=max_per_tile, chunk=chunk, tile_block=tile_block)
+            max_per_tile=max_per_tile, chunk=chunk, tile_block=tile_block,
+            row_phase=row_phase, row_stride=row_stride)
         nd = bins.num_duplicates
         ml = jnp.max(bins.tile_end - bins.tile_start)
         ov = bins.overflow | (ml > max_per_tile)
@@ -116,7 +130,8 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
         image, invd, finalT, nd, ml, ov = rasterize_pallas(
             proj, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y,
             max_per_tile=max_per_tile, dup_capacity=dup_capacity,
-            interpret=(backend == "pallas_interpret"))
+            interpret=(backend == "pallas_interpret"),
+            row_phase=row_phase, row_stride=row_stride)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return RenderOutput(image=image, invdepth=invd, final_T=finalT,
