@@ -1,6 +1,7 @@
 """Benchmark: fwd+bwd rasterization throughput at 1080p on one chip.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}
+where detail carries the per-stage breakdown and an MFU estimate.
 
 Baseline derivation (BASELINE.md): the reference's accelerated CUDA rasterizer
 trains an average scene (~1.1 Mpx images) in 27 min / 30k iterations on an
@@ -21,6 +22,8 @@ import numpy as np
 BASELINE_PIXELS_PER_S = 2.4e7
 WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 500_000
+CS = 128            # kernel chunk size (ops/rasterize_pallas.CS)
+PEAK_BF16_FLOPS = 197e12   # v5e MXU peak; MFU is reported on this basis
 
 
 def build_scene():
@@ -45,10 +48,26 @@ def build_scene():
     return params, alive
 
 
+def _slope(f, x0, fetch, k1=1, k2=5):
+    """Chained slope timing; f: x -> x, fetch: x -> host scalar."""
+    fetch(f(x0))  # compile + run once
+    def run(k):
+        x = x0
+        for _ in range(k):
+            x = f(x)
+        return fetch(x)
+    t0 = time.perf_counter(); run(k1); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); run(k2); t2 = time.perf_counter() - t0
+    return (t2 - t1) / (k2 - k1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from gs_tpu.core.camera import make_camera, focal2fov
+    from gs_tpu.core.project import preprocess
+    from gs_tpu.ops.binning import bin_gaussians_payload
+    from gs_tpu.ops.rasterize_jnp import pack_projected
     from gs_tpu.render import render
 
     params, alive = build_scene()
@@ -58,9 +77,25 @@ def main():
     bg = jnp.zeros(3)
     gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
 
+    # ---- probe pass: actual duplicate count sizes the static buffers ------
+    probe_kwargs = dict(active_sh_degree=3, backend="pallas", alive=alive,
+                        dup_capacity=1 << 22, max_per_tile=8192, chunk=64)
+    chk = jax.jit(lambda p: render(cam, p, bg, **probe_kwargs))(params)
+    ov = bool(chk.overflow)
+    nd = int(chk.num_duplicates)
+    ml = int(chk.max_tile_len)
+    if ov:
+        print(json.dumps({"metric": "pixels_per_s_fwd_bwd_1080p", "value": 0,
+                          "unit": "pixels/s", "vs_baseline": 0,
+                          "error": f"binning overflow dups={nd} maxtile={ml}"}))
+        return
+    dup_capacity = max(((int(nd * 1.15) + 127) // 128) * 128, 1 << 20)
+    max_per_tile = max(((int(ml * 1.3) + 127) // 128) * 128, 1024)
     kwargs = dict(active_sh_degree=3, backend="pallas", alive=alive,
-                  dup_capacity=1 << 22, max_per_tile=8192, chunk=64)
+                  dup_capacity=dup_capacity, max_per_tile=max_per_tile,
+                  chunk=64)
 
+    # ---- headline: full fwd+bwd step --------------------------------------
     def loss_fn(p):
         out = render(cam, p, bg, **kwargs)
         return jnp.mean(jnp.abs(out.image - gt))
@@ -70,28 +105,58 @@ def main():
         g = jax.grad(loss_fn)(p)
         return jax.tree.map(lambda a, b: a - 1e-12 * b, p, g)
 
-    # sanity: capacity check before timing
-    chk = jax.jit(lambda p: render(cam, p, bg, **kwargs))(params)
-    ov = bool(chk.overflow)
-    nd = int(chk.num_duplicates)
-    ml = int(chk.max_tile_len)
-    if ov:
-        print(json.dumps({"metric": "pixels_per_s_fwd_bwd_1080p", "value": 0,
-                          "unit": "pixels/s", "vs_baseline": 0,
-                          "error": f"binning overflow dups={nd} maxtile={ml}"}))
-        return
+    fetch_p = lambda p: float(jnp.asarray(p.xyz).ravel()[0])
+    dt = _slope(step, params, fetch_p, k1=2, k2=8)
 
-    def run(k):
-        p = params
-        for _ in range(k):
-            p = step(p)
-        return float(jnp.asarray(p.xyz).ravel()[0])   # forces completion
+    # ---- per-stage probes (slope-timed, chained through a carried scalar) -
+    def stage(fn):
+        f = jax.jit(fn)
+        return _slope(f, np.float32(0.0), float)
 
-    run(1)  # compile
-    k1, k2 = 2, 8
-    t0 = time.perf_counter(); run(k1); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); run(k2); t2 = time.perf_counter() - t0
-    dt = (t2 - t1) / (k2 - k1)
+    def prep_fn(s):
+        p = params._replace(xyz=params.xyz + s * 1e-30)
+        proj = preprocess(p, cam, active_sh_degree=3, alive=alive)
+        return s + 1 + pack_projected(proj)[0, 0] * 1e-30
+
+    proj0 = jax.jit(lambda p: preprocess(
+        p, cam, active_sh_degree=3, alive=alive))(params)
+    pk0 = jax.jit(pack_projected)(proj0)
+
+    def binning_fn(s):
+        pk = pk0 + s * 1e-30
+        bins, cols = bin_gaussians_payload(proj0, pk, WIDTH, HEIGHT, 16, 16,
+                                           dup_capacity)
+        return s + 1 + (cols[0][0]
+                        + bins.tile_start[0].astype(jnp.float32)) * 1e-30
+
+    def fwd_fn(s):
+        p = params._replace(xyz=params.xyz + s * 1e-30)
+        out = render(cam, p, bg, **kwargs)
+        return s + 1 + out.image[0, 0, 0] * 1e-30
+
+    t_prep = stage(prep_fn)
+    t_bin = stage(binning_fn)
+    t_fwd = stage(fwd_fn)
+    stages = {
+        "preprocess_ms": round(t_prep * 1e3, 1),
+        "binning_ms": round(t_bin * 1e3, 1),
+        "fwd_kernel_ms": round(max(t_fwd - t_prep - t_bin, 0.0) * 1e3, 1),
+        "fwd_total_ms": round(t_fwd * 1e3, 1),
+        "bwd_total_ms": round(max(dt - t_fwd, 0.0) * 1e3, 1),
+        "step_ms": round(dt * 1e3, 1),
+    }
+
+    # ---- MFU model (MXU flops of the compositing math) --------------------
+    # fwd per chunk: triangular-cumsum matmul [CS,CS]x[CS,PIX] + feature
+    # contraction [4,CS]x[CS,PIX]; bwd: 2 triangular matmuls + cdot [CS,3]x
+    # [3,PIX] + d_rgb/d_invd [CS,PIX]x[PIX,4]. PIX=256.
+    pix = 256
+    num_tiles = (WIDTH // 16) * math.ceil(HEIGHT / 16)
+    chunks = nd / CS + num_tiles        # partial chunk per tile
+    fwd_flops = chunks * (2 * CS * CS * pix + 2 * 4 * CS * pix)
+    bwd_flops = chunks * (2 * 2 * CS * CS * pix + 2 * 3 * CS * pix
+                          + 2 * 4 * CS * pix)
+    mfu = (fwd_flops + bwd_flops) / (dt * PEAK_BF16_FLOPS)
 
     pixels_per_s = WIDTH * HEIGHT / dt
     print(json.dumps({
@@ -101,6 +166,11 @@ def main():
         "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 4),
         "detail": {"sec_per_fwd_bwd": round(dt, 4), "n_gaussians": N_GAUSS,
                    "duplicates": nd, "max_tile_len": ml,
+                   "dup_capacity": dup_capacity, "max_per_tile": max_per_tile,
+                   "stages": stages,
+                   "mfu_bf16_basis": round(mfu, 4),
+                   "kernel_gflops_per_step": round(
+                       (fwd_flops + bwd_flops) / 1e9, 1),
                    "device": str(jax.devices()[0]).replace(" ", "_")},
     }))
 

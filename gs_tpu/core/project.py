@@ -44,6 +44,13 @@ class Projected(NamedTuple):
     rgb: jnp.ndarray       # [N, 3]
     opacity: jnp.ndarray   # [N] effective opacity (sigmoid, AA-scaled)
     visible: jnp.ndarray   # [N] bool (radius > 0)
+    radius_cull: Optional[jnp.ndarray] = None  # [N, 2] int32 (rx, ry), each
+    # <= radius: tight opacity-aware binning half-widths (beyond them
+    # alpha < 1/255 everywhere, so the in-kernel skip mask drops those
+    # pixels anyway — culling the tiles is EXACT for values and gradients).
+    # The reference always bins at the 3-sigma square; ``radius`` keeps that
+    # value for the densification/prune semantics (radii2D stats,
+    # visibility filter).
 
 
 def project_points(camera: Camera, xyz: jnp.ndarray):
@@ -143,6 +150,24 @@ def preprocess(params: GaussianParams, camera: Camera, *,
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
     visible = radius > 0
 
+    # opacity-aware per-axis cull radii: alpha = op*exp(-0.5 d^T Sigma^-1 d)
+    # >= 1/255 only inside the ellipse d^T Sigma^-1 d <= 2 ln(255 op), whose
+    # exact bounding box has half-widths sqrt(2 ln(255 op) * Sigma_xx|yy)
+    # (marginal variances of the dilated covariance — the same matrix the
+    # conic inverts). Tiles outside that box never pass the kernel's
+    # alpha >= 1/255 skip mask, so culling them changes nothing (values or
+    # grads). +1 px guards the tile_rect max-side convention (it only
+    # guarantees pixel coverage to r-1) and any f32 rounding at tangency.
+    log_term = jnp.log(jnp.maximum(255.0 * opacity, 1e-12))
+    two_l = 2.0 * jnp.maximum(log_term, 0.0)
+    rcx = jnp.ceil(jnp.sqrt(two_l * jnp.maximum(cov2d[:, 0], 0.0))) + 1.0
+    rcy = jnp.ceil(jnp.sqrt(two_l * jnp.maximum(cov2d[:, 2], 0.0))) + 1.0
+    keep = visible & (log_term > 0.0)
+    radius_cull = jnp.stack([
+        jnp.where(keep, jnp.minimum(rcx, radius_f), 0.0),
+        jnp.where(keep, jnp.minimum(rcy, radius_f), 0.0)], axis=-1
+    ).astype(jnp.int32)
+
     if override_color is not None:
         rgb = override_color
     else:
@@ -161,19 +186,23 @@ def preprocess(params: GaussianParams, camera: Camera, *,
         rgb=rgb,
         opacity=opacity,
         visible=visible,
+        radius_cull=radius_cull,
     )
 
 
 def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray,
-              grid_x: int, grid_y: int, tile_x: int, tile_y: int):
+              grid_x: int, grid_y: int, tile_x: int, tile_y: int,
+              radius_y: Optional[jnp.ndarray] = None):
     """Tile-span rectangle per Gaussian, clamped to the tile grid.
 
     Matches the CUDA getRect math (min/max over the block grid); returns
-    (rx0, ry0, rx1, ry1) int32 half-open ranges.
+    (rx0, ry0, rx1, ry1) int32 half-open ranges. ``radius_y`` (defaults to
+    ``radius``) allows an anisotropic span for the opacity-aware cull bbox.
     """
-    r = radius.astype(jnp.float32)
-    rx0 = jnp.clip(jnp.floor((mean2d[:, 0] - r) / tile_x).astype(jnp.int32), 0, grid_x)
-    ry0 = jnp.clip(jnp.floor((mean2d[:, 1] - r) / tile_y).astype(jnp.int32), 0, grid_y)
-    rx1 = jnp.clip(jnp.floor((mean2d[:, 0] + r + tile_x - 1) / tile_x).astype(jnp.int32), 0, grid_x)
-    ry1 = jnp.clip(jnp.floor((mean2d[:, 1] + r + tile_y - 1) / tile_y).astype(jnp.int32), 0, grid_y)
+    rx = radius.astype(jnp.float32)
+    ry = rx if radius_y is None else radius_y.astype(jnp.float32)
+    rx0 = jnp.clip(jnp.floor((mean2d[:, 0] - rx) / tile_x).astype(jnp.int32), 0, grid_x)
+    ry0 = jnp.clip(jnp.floor((mean2d[:, 1] - ry) / tile_y).astype(jnp.int32), 0, grid_y)
+    rx1 = jnp.clip(jnp.floor((mean2d[:, 0] + rx + tile_x - 1) / tile_x).astype(jnp.int32), 0, grid_x)
+    ry1 = jnp.clip(jnp.floor((mean2d[:, 1] + ry + tile_y - 1) / tile_y).astype(jnp.int32), 0, grid_y)
     return rx0, ry0, rx1, ry1

@@ -17,7 +17,7 @@ caller can re-jit with a bigger capacity.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,9 @@ class TileBins(NamedTuple):
     tile_end: jnp.ndarray     # [T] int32
     num_duplicates: jnp.ndarray  # [] int32 — actual duplicates (pre-clamp)
     overflow: jnp.ndarray     # [] bool — true if capacity was exceeded
+    gauss_counts: Optional[jnp.ndarray] = None  # [N] duplicates per gaussian
+    # (ORIGINAL index order) — lets the gradient segment-sum derive run-end
+    # positions directly instead of detecting boundaries + compacting
 
 
 def tile_grid(width: int, height: int, tile_x: int, tile_y: int):
@@ -41,19 +44,28 @@ def tile_grid(width: int, height: int, tile_x: int, tile_y: int):
 
 
 def bin_gaussians(proj: Projected, width: int, height: int,
-                  tile_x: int, tile_y: int, capacity: int) -> TileBins:
+                  tile_x: int, tile_y: int, capacity: int,
+                  row_phase=0, row_stride: int = 1) -> TileBins:
     bins, _ = bin_gaussians_payload(proj, None, width, height,
-                                    tile_x, tile_y, capacity)
+                                    tile_x, tile_y, capacity,
+                                    row_phase=row_phase,
+                                    row_stride=row_stride)
     return bins
 
 
 def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
-                          tile_x: int, tile_y: int, capacity: int):
+                          tile_x: int, tile_y: int, capacity: int,
+                          row_phase=0, row_stride: int = 1):
     """Binning that optionally carries per-gaussian ``payload`` [N, F] columns
     through the expansion and the tile sort, returning them per sorted entry
-    [D, F]. Carrying the payload in the sort replaces the post-sort random
-    row gather, which is ~25x slower than the sort itself on v5e (the
-    expansion gather is monotone and streams).
+    as F separate [D] columns. Carrying the payload in the sort replaces the
+    post-sort random row gather, which is ~25x slower than the sort itself on
+    v5e (the expansion gather is monotone and streams).
+
+    ``row_phase`` (traced ok) / ``row_stride`` (static): bin only the global
+    tile rows phase + j*stride, j in [0, height/tile_y) — the interleaved
+    multi-chip band assignment. Coordinates stay global; the tile ids emitted
+    are LOCAL (j*gx + col).
     """
     gx, gy = tile_grid(width, height, tile_x, tile_y)
     num_tiles = gx * gy
@@ -63,25 +75,59 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key)                       # [N] stable
     mean2d_s = jnp.take(proj.mean2d, order, axis=0)
-    radius_s = jnp.take(proj.radius, order, axis=0)
-    visible_s = jnp.take(proj.visible, order, axis=0)
+    # bin at the opacity-aware cull bbox when the preprocess provides it
+    # (exact: beyond it alpha < 1/255 at every pixel — see core/project.py)
+    if proj.radius_cull is not None:
+        rc = jnp.take(proj.radius_cull, order, axis=0)   # [N, 2]
+        radius_sx, radius_sy = rc[:, 0], rc[:, 1]
+    else:
+        radius_sx = radius_sy = jnp.take(proj.radius, order, axis=0)
+    visible_s = (jnp.take(proj.visible, order, axis=0)
+                 & (radius_sx > 0) & (radius_sy > 0))
 
     # 2. tile spans in depth order
-    rx0, ry0, rx1, ry1 = tile_rect(mean2d_s, radius_s, gx, gy, tile_x, tile_y)
+    if row_stride == 1:
+        rx0, ry0, rx1, ry1 = tile_rect(mean2d_s, radius_sx, gx, gy,
+                                       tile_x, tile_y, radius_y=radius_sy)
+    else:
+        # global rect rows, then remap to this device's interleaved rows
+        # (global row = phase + j*stride): the owned rows inside
+        # [gy0, gy1) form the LOCAL range [ceil((gy0-phase)/stride),
+        # floor((gy1-1-phase)/stride)+1)
+        gy_glob = gy * row_stride
+        rx0, gy0, rx1, gy1 = tile_rect(mean2d_s, radius_sx, gx, gy_glob,
+                                       tile_x, tile_y, radius_y=radius_sy)
+        phase = jnp.asarray(row_phase, jnp.int32)
+        ry0 = jnp.clip((gy0 - phase + row_stride - 1) // row_stride, 0, gy)
+        ry1 = jnp.clip((gy1 - 1 - phase) // row_stride + 1, 0, gy)
+        ry1 = jnp.maximum(ry1, ry0)
     span_w = rx1 - rx0
     span_h = ry1 - ry0
     counts = jnp.where(visible_s, span_w * span_h, 0)
     total = jnp.sum(counts)
 
     # expansion: per-gaussian rows repeated by their touched-tile counts.
-    # jnp.repeat on whole rows is the cheapest expansion on v5e (~24 ms at
-    # 4.2M rows); index-array construction + row gathers measured ~3x more,
-    # per-column scalar gathers ~7x.
+    # jnp.repeat on whole rows is the cheapest expansion on v5e (a monotone
+    # row gather); ONE fused repeat of the int table (bitcast to f32) plus
+    # the payload halves the expansion traffic vs two separate repeats
+    # (measured 22 + 27 ms -> ~30 ms at 4.2M rows).
     offsets = jnp.cumsum(counts) - counts                # exclusive
     table = jnp.stack([offsets, rx0, ry0, jnp.maximum(span_w, 1),
-                       order.astype(jnp.int32)], axis=1)  # [N, 5]
-    rows = jnp.repeat(table, counts, axis=0,
-                      total_repeat_length=capacity)      # [D, 5]
+                       order.astype(jnp.int32)], axis=1)  # [N, 5] i32
+    if payload is not None:
+        f = payload.shape[1]
+        payload_s = jnp.take(payload, order, axis=0)     # [N, F]
+        comb = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(table, jnp.float32), payload_s],
+            axis=1)                                      # [N, 5+F]
+        comb_rows = jnp.repeat(comb, counts, axis=0,
+                               total_repeat_length=capacity)  # [D, 5+F]
+        rows = jax.lax.bitcast_convert_type(comb_rows[:, :5], jnp.int32)
+        exp = comb_rows[:, 5:]                           # [D, F]
+    else:
+        rows = jnp.repeat(table, counts, axis=0,
+                          total_repeat_length=capacity)  # [D, 5]
+        exp = None
     eidx = jnp.arange(capacity, dtype=jnp.int32)
     local = eidx - rows[:, 0]
     sw = rows[:, 3]
@@ -93,25 +139,31 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
 
     # 3. stable sort by tile — entries stay depth-ordered within a tile;
     # payload columns ride along instead of being re-gathered afterwards
+    # (the 12-operand stable sort measures ~9.5 ms at 4.2M rows on v5e —
+    # the sort is NOT the expensive part of binning)
     if payload is not None:
-        f = payload.shape[1]
-        payload_s = jnp.take(payload, order, axis=0)     # [N, F]
-        exp = jnp.repeat(payload_s, counts, axis=0,
-                         total_repeat_length=capacity)   # [D, F]
         ops = jax.lax.sort((tile_key, rows[:, 4]) +
                            tuple(exp[:, i] for i in range(f)),
                            dimension=0, is_stable=True, num_keys=1)
         sorted_key, sorted_gid = ops[0], ops[1]
-        sorted_payload = jnp.stack(ops[2:], axis=1)      # [D, F]
+        sorted_cols = tuple(ops[2:])                     # F x [D] (SoA —
+        # stacking to [D, F] here measured ~10x the sort cost; callers keep
+        # columns separate and stack along axis 0 where a [F, D] layout is
+        # the target)
     else:
         sorted_key, sorted_gid = jax.lax.sort(
             (tile_key, rows[:, 4]), dimension=0, is_stable=True, num_keys=1)
-        sorted_payload = None
+        sorted_cols = None
 
     # 4. per-tile ranges
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_key, tiles, side='left').astype(jnp.int32)
     end = jnp.searchsorted(sorted_key, tiles + 1, side='left').astype(jnp.int32)
+
+    # counts back in ORIGINAL index order (2-operand sort at N — cheap)
+    counts_orig = jax.lax.sort(
+        (order.astype(jnp.int32), counts.astype(jnp.int32)),
+        dimension=0, num_keys=1)[1]
 
     bins = TileBins(
         entry_gid=sorted_gid,
@@ -120,5 +172,6 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
         tile_end=end,
         num_duplicates=total.astype(jnp.int32),
         overflow=total > capacity,
+        gauss_counts=counts_orig,
     )
-    return bins, sorted_payload
+    return bins, sorted_cols

@@ -46,7 +46,7 @@ from ..core.project import Projected
 from .binning import bin_gaussians_payload, tile_grid
 from .composite import ALPHA_MAX, ALPHA_MIN, T_EPS
 from .rasterize_jnp import pack_projected
-from .segment import segment_sum_compact
+from .segment import segment_sum_runend
 
 CS = 128          # entries per chunk (= lane width)
 NFEAT = 16
@@ -61,11 +61,15 @@ def _tri_matrices(cs: int):
     return l_incl, s_upper
 
 
-def _pixel_rows(t, gx, tile_x, tile_y, pix):
-    """Tile t's pixel coordinates as [1, pix] rows."""
+def _pixel_rows(t, gx, tile_x, tile_y, pix, row_phase=0, row_stride=1):
+    """Tile t's pixel coordinates as [1, pix] rows.
+
+    ``row_phase``/``row_stride`` map LOCAL tile rows to global ones
+    (global_row = phase + local_row * stride) — the interleaved multi-chip
+    tile-band assignment; packets keep global coordinates."""
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1).astype(jnp.float32)
     tcol = (t % gx).astype(jnp.float32)
-    trow = (t // gx).astype(jnp.float32)
+    trow = ((t // gx) * row_stride + row_phase).astype(jnp.float32)
     px = tcol * tile_x + pid % tile_x
     py = trow * tile_y + jnp.floor(pid / tile_x)
     return px, py
@@ -107,9 +111,9 @@ def _chunk_dma(feats_hbm, fbuf, sem, base, k, slot):
         fbuf.at[slot], sem.at[slot])
 
 
-def _fwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_ref,
-                fbuf, sem, *, gx, tile_x, tile_y, pix, max_chunks,
-                tiles_per_program):
+def _fwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm, out_ref,
+                ustore_ref, fbuf, sem, *, gx, tile_x, tile_y, pix, max_chunks,
+                tiles_per_program, row_stride):
     l_incl, _ = _tri_matrices(CS)
     for tb in range(tiles_per_program):                  # static unroll
         t = pl.program_id(0) * tiles_per_program + tb
@@ -117,7 +121,8 @@ def _fwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_ref,
         end = tile_end_ref[t]
         base = pl.multiple_of((start // CS) * CS, CS)
         nchunks = jnp.minimum(pl.cdiv(end - base, CS), max_chunks)
-        px, py = _pixel_rows(t, gx, tile_x, tile_y, pix)
+        px, py = _pixel_rows(t, gx, tile_x, tile_y, pix,
+                             row_phase=rowp_ref[0], row_stride=row_stride)
 
         out_ref[tb] = jnp.zeros((8, pix), jnp.float32)
         out_ref[tb, 4:5] = jnp.ones((1, pix), jnp.float32)   # running T
@@ -130,8 +135,9 @@ def _fwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_ref,
         # fori with double-buffered DMA: the next chunk streams while the
         # current one composites; early-terminated tiles skip the compute
         # (the DMA still streams so every started copy is awaited)
-        def body(k, umax, tb=tb, base=base, nchunks=nchunks, start=start,
+        def body(k, carry, tb=tb, base=base, nchunks=nchunks, start=start,
                  end=end, px=px, py=py):
+            umax, kproc = carry
             slot = jax.lax.rem(k, 2)
 
             @pl.when(k + 1 < nchunks)
@@ -140,8 +146,9 @@ def _fwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_ref,
                            1 - slot).start()
 
             _chunk_dma(feats_hbm, fbuf, sem, base, k, slot).wait()
+            active = umax >= T_EPS
 
-            @pl.when(umax >= T_EPS)
+            @pl.when(active)
             def _():
                 f = fbuf[slot].T                         # [CS, NFEAT]
                 vmask = _entry_mask(base, k, start, end)
@@ -151,6 +158,9 @@ def _fwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_ref,
                 cum = jnp.dot(l_incl, lg,
                               preferred_element_type=jnp.float32)
                 u_prev = out_ref[tb, 4:5]                # [1, PIX]
+                # checkpoint the chunk's ENTERING transmittance — the
+                # backward reads it instead of re-sweeping the tile
+                ustore_ref[tb, pl.ds(k, 1), :] = u_prev
                 u_incl = u_prev * jnp.exp(cum)
                 u_excl = u_prev * jnp.exp(cum - lg)
                 live = (u_incl >= T_EPS).astype(jnp.float32)
@@ -165,63 +175,38 @@ def _fwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_ref,
                 out_ref[tb, 5:6] = jnp.minimum(out_ref[tb, 5:6], tmin)
                 out_ref[tb, 4:5] = u_incl[CS - 1:CS, :]
 
-            return jnp.max(out_ref[tb, 4:5])
+            kproc = jnp.where(active, k + 1, kproc)
+            return jnp.max(out_ref[tb, 4:5]), kproc
 
-        jax.lax.fori_loop(0, nchunks, body, jnp.float32(1.0))
+        _, kproc = jax.lax.fori_loop(
+            0, nchunks, body, (jnp.float32(1.0), jnp.int32(0)))
+        # chunks actually composited before early termination; the backward
+        # walks exactly these (row 6 was spare)
+        out_ref[tb, 6:7] = jnp.full((1, pix), kproc.astype(jnp.float32))
 
 
-def _bwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_fwd_ref,
-                dout_ref, zeros_hbm, dfeats_hbm, fbuf, dbuf_rd, dbuf_wr,
-                ustore, sem_in, sem_rd, sem_wr, *,
-                gx, tile_x, tile_y, pix, max_chunks):
+def _bwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm,
+                out_fwd_ref, ustore_ref, dout_ref, zeros_hbm, dfeats_hbm,
+                fbuf, dbuf_rd, dbuf_wr, sem_in, sem_rd, sem_wr, *,
+                gx, tile_x, tile_y, pix, max_chunks, row_stride):
     del zeros_hbm  # aliased into dfeats_hbm (zero initialization)
     t = pl.program_id(0)
     start = tile_start_ref[t]
     end = tile_end_ref[t]
     base = pl.multiple_of((start // CS) * CS, CS)
-    nchunks = jnp.minimum(pl.cdiv(end - base, CS), max_chunks)
     l_incl, s_upper = _tri_matrices(CS)
-    px, py = _pixel_rows(t, gx, tile_x, tile_y, pix)
+    px, py = _pixel_rows(t, gx, tile_x, tile_y, pix,
+                         row_phase=rowp_ref[0], row_stride=row_stride)
 
     dldc = dout_ref[0, 0:3]                               # [3, PIX]
     dldi = dout_ref[0, 3:4]                               # [1, PIX]
     dldt = dout_ref[0, 5:6]                               # [1, PIX]
     tmin = out_fwd_ref[0, 5:6]                            # [1, PIX] value
+    # chunks the forward actually composited (it checkpointed the entering
+    # transmittance of each into ustore, so no re-sweep is needed here)
+    kproc = out_fwd_ref[0, 6, 0].astype(jnp.int32)
 
-    # ---- sweep 1: store per-chunk entering transmittance ------------------
-    @pl.when(nchunks > 0)
-    def _():
-        _chunk_dma(feats_hbm, fbuf, sem_in, base, 0, 0).start()
-
-    def body1(k, carry):
-        kproc, u_prev = carry
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < nchunks)
-        def _():
-            _chunk_dma(feats_hbm, fbuf, sem_in, base, k + 1, 1 - slot).start()
-
-        _chunk_dma(feats_hbm, fbuf, sem_in, base, k, slot).wait()
-        active = jnp.max(u_prev) >= T_EPS
-
-        def compute(u_prev):
-            ustore[pl.ds(k, 1), :] = u_prev
-            vmask = _entry_mask(base, k, start, end)
-            alpha, _, _, _, _, _ = _chunk_alpha(fbuf[slot].T, vmask, px, py)
-            lg = jnp.log1p(-alpha)
-            cum = jnp.dot(l_incl, lg, preferred_element_type=jnp.float32)
-            u_incl = u_prev * jnp.exp(cum)
-            return u_incl[CS - 1:CS, :]
-
-        u_next = jax.lax.cond(active, compute, lambda u: u, u_prev)
-        kproc = jnp.where(active, k + 1, kproc)
-        return kproc, u_next
-
-    kproc, _ = jax.lax.fori_loop(
-        0, nchunks, body1,
-        (jnp.int32(0), jnp.ones((1, pix), jnp.float32)))
-
-    # ---- sweep 2: back-to-front with suffix carry S ------------------------
+    # ---- back-to-front sweep with suffix carry S ---------------------------
     # Double-buffered: chunk k-1's feature load and d-chunk read stream while
     # chunk k computes; writes overlap the next chunk's compute and are
     # awaited before their buffer slot is reused (and before program end, so
@@ -259,7 +244,7 @@ def _bwd_kernel(tile_start_ref, tile_end_ref, feats_hbm, out_fwd_ref,
         alpha, g, opg, dx, dy, gate = _chunk_alpha(f, vmask, px, py)
         lg = jnp.log1p(-alpha)
         cum = jnp.dot(l_incl, lg, preferred_element_type=jnp.float32)
-        u_prev = ustore[pl.ds(k, 1), :]
+        u_prev = ustore_ref[0, pl.ds(k, 1), :]
         u_incl = u_prev * jnp.exp(cum)
         u_excl = u_prev * jnp.exp(cum - lg)
         live = (u_incl >= T_EPS).astype(jnp.float32)
@@ -339,15 +324,18 @@ class _Statics(NamedTuple):
     interpret: bool
     tiles_per_program: int = 1   # fwd grid batching (amortizes per-program
                                  # overhead; tile count is padded to a multiple)
+    row_stride: int = 1          # interleaved multi-chip tile-row assignment
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _raster_tiles(feats, tile_start, tile_end, statics: _Statics):
-    out, _ = _raster_tiles_fwd(feats, tile_start, tile_end, statics)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _raster_tiles(feats, tile_start, tile_end, row_phase, statics: _Statics):
+    out, _ = _raster_tiles_fwd(feats, tile_start, tile_end, row_phase,
+                               statics)
     return out
 
 
-def _raster_tiles_fwd(feats, tile_start, tile_end, statics: _Statics):
+def _raster_tiles_fwd(feats, tile_start, tile_end, row_phase,
+                      statics: _Statics):
     s = statics
     pix = s.tile_x * s.tile_y
     tbp = s.tiles_per_program
@@ -357,11 +345,17 @@ def _raster_tiles_fwd(feats, tile_start, tile_end, statics: _Statics):
         tile_start = jnp.pad(tile_start, (0, pad))
         tile_end = jnp.pad(tile_end, (0, pad))   # empty padded tiles
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t_pad // tbp,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=pl.BlockSpec((tbp, 8, pix), lambda t, *_: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((tbp, 8, pix), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # per-chunk entering-transmittance checkpoint, consumed by the
+            # backward (rows >= kproc are left unwritten and never read)
+            pl.BlockSpec((tbp, s.max_chunks, pix), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, NFEAT, CS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -370,27 +364,34 @@ def _raster_tiles_fwd(feats, tile_start, tile_end, statics: _Statics):
     kernel = functools.partial(_fwd_kernel, gx=s.gx, tile_x=s.tile_x,
                                tile_y=s.tile_y, pix=pix,
                                max_chunks=s.max_chunks,
-                               tiles_per_program=tbp)
-    out = pl.pallas_call(
+                               tiles_per_program=tbp,
+                               row_stride=s.row_stride)
+    out, ustore = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_pad, 8, pix), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, 8, pix), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, s.max_chunks, pix), jnp.float32),
+        ],
         interpret=s.interpret,
-    )(tile_start, tile_end, feats)
+    )(tile_start, tile_end, row_phase, feats)
     out = out[:s.num_tiles]
-    return out, (feats, tile_start[:s.num_tiles], tile_end[:s.num_tiles], out)
+    return out, (feats, tile_start[:s.num_tiles], tile_end[:s.num_tiles],
+                 row_phase, out, ustore[:s.num_tiles])
 
 
 def _raster_tiles_bwd(statics: _Statics, residuals, dout):
     s = statics
-    feats, tile_start, tile_end, out_fwd = residuals
+    feats, tile_start, tile_end, row_phase, out_fwd, ustore = residuals
     pix = s.tile_x * s.tile_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(s.num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((1, 8, pix), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s.max_chunks, pix), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, pix), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -401,7 +402,6 @@ def _raster_tiles_bwd(statics: _Statics, residuals, dout):
             pltpu.VMEM((2, NFEAT, CS), jnp.float32),   # fbuf
             pltpu.VMEM((2, NFEAT, CS), jnp.float32),   # dbuf_rd
             pltpu.VMEM((2, NFEAT, CS), jnp.float32),   # dbuf_wr
-            pltpu.VMEM((s.max_chunks, pix), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),             # sem_in
             pltpu.SemaphoreType.DMA((2,)),             # sem_rd
             pltpu.SemaphoreType.DMA((2,)),             # sem_wr
@@ -409,39 +409,46 @@ def _raster_tiles_bwd(statics: _Statics, residuals, dout):
     )
     kernel = functools.partial(_bwd_kernel, gx=s.gx, tile_x=s.tile_x,
                                tile_y=s.tile_y, pix=pix,
-                               max_chunks=s.max_chunks)
+                               max_chunks=s.max_chunks,
+                               row_stride=s.row_stride)
     zeros = jnp.zeros_like(feats)
     dfeats = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(feats.shape, jnp.float32),
-        # inputs are (tile_start, tile_end, feats, out_fwd, dout, zeros);
-        # alias the zeros input into the output so untouched chunks read 0
-        input_output_aliases={5: 0},
+        # inputs are (tile_start, tile_end, row_phase, feats, out_fwd,
+        # ustore, dout, zeros); alias zeros into the output so untouched
+        # chunks read 0
+        input_output_aliases={7: 0},
         interpret=s.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_end, feats, out_fwd, dout, zeros)
-    return dfeats, None, None
+    )(tile_start, tile_end, row_phase, feats, out_fwd, ustore, dout, zeros)
+    return dfeats, None, None, None
 
 
 _raster_tiles.defvjp(_raster_tiles_fwd, _raster_tiles_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _bin_with_payload(packets, proj_sg, dims):
+def _bin_with_payload(packets, proj_sg, dims, row_phase):
     """Binning with the packet columns carried through the sort; VJP routes
     d(sorted packets) back to packets via the sort-based segment sum. The
     geometry inputs are stop-gradient'd (binning is integer-valued, exactly
     like the CUDA sort stage)."""
-    out, _ = _bin_with_payload_fwd(packets, proj_sg, dims)
+    out, _ = _bin_with_payload_fwd(packets, proj_sg, dims, row_phase)
     return out
 
 
-def _bin_with_payload_fwd(packets, proj_sg, dims):
-    width, height, tile_x, tile_y, dup_capacity = dims
-    bins, sorted_payload = bin_gaussians_payload(
-        proj_sg, packets, width, height, tile_x, tile_y, dup_capacity)
-    return (bins, sorted_payload), (bins.entry_gid, packets.shape[0], proj_sg)
+def _bin_with_payload_fwd(packets, proj_sg, dims, row_phase):
+    width, height, tile_x, tile_y, dup_capacity, row_stride = dims
+    bins, sorted_cols = bin_gaussians_payload(
+        proj_sg, packets, width, height, tile_x, tile_y, dup_capacity,
+        row_phase=row_phase[0], row_stride=row_stride)
+    n = packets.shape[0]
+    # invalid (padding) entries carry junk gids from the repeat fill — send
+    # them to the sentinel so they sort past every real run in the backward
+    gid_sent = jnp.where(bins.entry_valid, bins.entry_gid, n)
+    return (bins, sorted_cols), (gid_sent, bins.gauss_counts, n, proj_sg)
 
 
 def _zero_tangent(x):
@@ -452,11 +459,13 @@ def _zero_tangent(x):
 
 
 def _bin_with_payload_bwd(dims, residuals, cot):
-    gid, n, proj_sg = residuals
-    _, d_sorted = cot                    # TileBins cotangents are float0
-    d_packets = segment_sum_compact(d_sorted, gid, n)
+    gid_sent, counts_orig, n, proj_sg = residuals
+    _, d_cols = cot                      # TileBins cotangents are float0
+    d_packets = segment_sum_runend(d_cols, gid_sent, counts_orig, n)
     d_proj = jax.tree.map(_zero_tangent, proj_sg)
-    return d_packets, d_proj
+    import numpy as _np
+    d_phase = _np.zeros((1,), jax.dtypes.float0)   # int input, no tangent
+    return d_packets, d_proj, d_phase
 
 
 _bin_with_payload.defvjp(_bin_with_payload_fwd, _bin_with_payload_bwd)
@@ -465,9 +474,15 @@ _bin_with_payload.defvjp(_bin_with_payload_fwd, _bin_with_payload_bwd)
 def rasterize_pallas(proj: Projected, width: int, height: int,
                      bg: jnp.ndarray, *, tile_x: int = 16, tile_y: int = 16,
                      max_per_tile: int = 4096, dup_capacity: int = 1 << 20,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     row_phase=None, row_stride: int = 1):
     """Render via the Pallas tile kernel; differentiable w.r.t. ``proj``
     through the packet features.
+
+    ``row_phase`` (traced) / ``row_stride`` (static) render only the global
+    tile rows phase + j*stride into a height-``height`` local image —
+    the interleaved multi-chip band assignment (packets keep global
+    coordinates).
 
     Returns (image [3,H,W], invdepth [1,H,W], finalT [H,W],
     num_duplicates, max_tile_len, overflow)."""
@@ -477,18 +492,29 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
     # +1: an unaligned start can push the range into one extra chunk
     max_chunks = max(max_per_tile // CS, 1) + 1
     assert dup_capacity % CS == 0, "dup_capacity must be a multiple of 128"
+    if row_phase is None:
+        row_phase = jnp.zeros((1,), jnp.int32)
+    else:
+        row_phase = jnp.reshape(row_phase, (1,)).astype(jnp.int32)
 
     packets = pack_projected(proj)                       # [N, 10]
-    bins, gathered = _bin_with_payload(
+    bins, cols = _bin_with_payload(
         packets, jax.tree.map(jax.lax.stop_gradient, proj),
-        (width, height, tile_x, tile_y, dup_capacity))   # [D, 10]
-    pad = jnp.zeros((gathered.shape[0], NFEAT - 10), jnp.float32)
-    feats = jnp.concatenate([gathered, pad], axis=1).T   # [NFEAT, D]
+        (width, height, tile_x, tile_y, dup_capacity,
+         row_stride), row_phase)                         # 10 x [D]
+    # stack along axis 0: each sorted column becomes one contiguous feature
+    # row — no [D, 10] <-> [10, D] relayout anywhere on the hot path
+    feats = jnp.concatenate(
+        [jnp.stack(cols, axis=0),
+         jnp.zeros((NFEAT - 10, cols[0].shape[0]), jnp.float32)],
+        axis=0)                                          # [NFEAT, D]
 
     statics = _Statics(num_tiles=num_tiles, gx=gx, tile_x=tile_x,
                        tile_y=tile_y, max_chunks=max_chunks,
-                       interpret=interpret, tiles_per_program=4)
-    out = _raster_tiles(feats, bins.tile_start, bins.tile_end, statics)
+                       interpret=interpret, tiles_per_program=4,
+                       row_stride=row_stride)
+    out = _raster_tiles(feats, bins.tile_start, bins.tile_end, row_phase,
+                        statics)
 
     color = out[:, 0:3, :]                               # [T, 3, PIX]
     invd = out[:, 3, :]                                  # [T, PIX]
