@@ -7,13 +7,16 @@ multi-GPU of any kind"; BASELINE.json north star): under ``shard_map``,
      SH shading) — embarrassingly parallel over the ``gauss`` axis,
   2. the per-gaussian screen-space packets are ``all_gather``ed over ICI
      (40 B/gaussian — the culled working set, not the parameters),
-  3. each device bins and rasterizes its own horizontal BAND of image tiles
-     (the packet y coordinates are shifted into band-local frame so the tile
-     kernel is reused unchanged),
-  4. the band images are all-gathered into the full frame; in the backward
-     pass XLA transposes that to a slice and transposes the packet
-     all-gather into a reduce-scatter — per-gaussian gradients arrive
-     pre-sharded on their owner device with no manual collective code.
+  3. each device bins and rasterizes an INTERLEAVED set of tile rows
+     (device d owns global tile rows d, d+k, d+2k, ... — adjacent image
+     rows differ little in splat load, so sky-vs-ground scenes stay
+     balanced where contiguous bands imbalance 3x+; the kernel takes the
+     (phase, stride) row mapping and keeps packet coordinates global),
+  4. the row groups are all-gathered and re-interleaved into the full
+     frame; in the backward pass XLA transposes that to a slice and
+     transposes the packet all-gather into a reduce-scatter — per-gaussian
+     gradients arrive pre-sharded on their owner device with no manual
+     collective code.
 
 Densification/optimizer state stay sharded on ``gauss`` (parallel/mesh.py);
 this module only parallelizes the render/backward sweep.
@@ -67,7 +70,8 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
         shard_map, mesh=mesh,
         in_specs=(gspec, gspec if alive is not None else rspec,
                   gspec if mean2d_tap is not None else rspec, rspec),
-        out_specs=(rspec, rspec, rspec, gspec, gspec, rspec, rspec, rspec),
+        out_specs=(rspec, rspec, rspec, gspec, gspec, rspec, rspec, rspec,
+                   rspec),
         check_vma=False)
     def fn(p_shard, alive_shard, tap_shard, bg_in):
         proj = preprocess(p_shard, camera, active_sh_degree=active_sh_degree,
@@ -81,31 +85,47 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
         geom = jnp.concatenate([
             proj.radius.astype(jnp.float32)[:, None],
             proj.depth[:, None],
-            proj.visible.astype(jnp.float32)[:, None]], axis=1)
+            proj.visible.astype(jnp.float32)[:, None],
+            proj.radius_cull.astype(jnp.float32)], axis=1)   # cols 3,4
 
         packets_full = jax.lax.all_gather(packets, GAUSS_AXIS, axis=0,
                                           tiled=True)   # [N, 10]
         geom_full = jax.lax.all_gather(geom, GAUSS_AXIS, axis=0, tiled=True)
 
-        # shift into band-local pixel coordinates
-        band_px = (jax.lax.axis_index(GAUSS_AXIS) * band_h).astype(jnp.float32)
-        packets_local = packets_full.at[:, 1].add(-band_px)
+        # coordinates stay GLOBAL; this device renders the interleaved tile
+        # rows phase + j*k (adjacent image rows have similar splat load, so
+        # sky-vs-ground scenes stay balanced where contiguous bands hit 3x+)
+        phase = jax.lax.axis_index(GAUSS_AXIS).astype(jnp.int32)
         proj_band = Projected(
-            mean2d=packets_local[:, 0:2],
-            conic=packets_local[:, 2:5],
+            mean2d=packets_full[:, 0:2],
+            conic=packets_full[:, 2:5],
             depth=geom_full[:, 1],
             radius=geom_full[:, 0].astype(jnp.int32),
-            rgb=packets_local[:, 6:9],
-            opacity=packets_local[:, 5],
+            rgb=packets_full[:, 6:9],
+            opacity=packets_full[:, 5],
             visible=geom_full[:, 2] > 0.5,
+            radius_cull=geom_full[:, 3:5].astype(jnp.int32),
         )
         out = render_projected(proj_band, width, band_h, bg_in,
                                backend=backend, dup_capacity=dup_capacity,
-                               max_per_tile=max_per_tile, chunk=chunk)
-        image = jax.lax.all_gather(out.image, GAUSS_AXIS, axis=1, tiled=True)
-        invd = jax.lax.all_gather(out.invdepth, GAUSS_AXIS, axis=1, tiled=True)
-        finalT = jax.lax.all_gather(out.final_T, GAUSS_AXIS, axis=0,
-                                    tiled=True)
+                               max_per_tile=max_per_tile, chunk=chunk,
+                               row_phase=phase, row_stride=k)
+
+        def reinterleave(x, ax):
+            """all_gather the per-device row groups and restore global row
+            order (global tile row = device + j*k)."""
+            g = jax.lax.all_gather(x, GAUSS_AXIS, axis=0)   # [k, ...]
+            g = jnp.moveaxis(g, 0, ax)                      # k at axis ax
+            shape = list(g.shape)
+            g = g.reshape(shape[:ax] + [k, band_rows, tile_y]
+                          + shape[ax + 2:])
+            g = jnp.swapaxes(g, ax, ax + 1)   # [band_rows, k, tile_y]
+            return g.reshape(shape[:ax] + [band_rows * k * tile_y]
+                             + shape[ax + 2:])
+
+        image = reinterleave(out.image, 1)                  # [3, gy_pad*ty, W]
+        invd = reinterleave(out.invdepth, 1)
+        finalT = reinterleave(out.final_T, 0)
         # per-gaussian stats (non-differentiable): the geometry is identical
         # on every device after the all-gather, so just slice the local shard
         n_local = p_shard.xyz.shape[0]
@@ -121,16 +141,20 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
         nd = jax.lax.psum(stats[0], GAUSS_AXIS).astype(jnp.int32)
         ml = jax.lax.pmax(stats[1], GAUSS_AXIS).astype(jnp.int32)
         ov = jax.lax.pmax(stats[2], GAUSS_AXIS) > 0
-        return image, invd, finalT, radii_loc, vis_loc, nd, ml, ov
+        # per-band duplicate counts: the tile-band load-balance diagnostic
+        band_nd = jax.lax.all_gather(
+            out.num_duplicates.astype(jnp.int32), GAUSS_AXIS)   # [k]
+        return image, invd, finalT, radii_loc, vis_loc, nd, ml, ov, band_nd
 
     alive_in = alive if alive is not None else jnp.zeros((1,), bool)
     tap_in = (mean2d_tap if mean2d_tap is not None
               else jnp.zeros((1, 2), jnp.float32))
-    image, invd, finalT, radii, vis, nd, ml, ov = fn(
+    image, invd, finalT, radii, vis, nd, ml, ov, band_nd = fn(
         params, alive_in, tap_in, bg)
     return RenderOutput(
         image=image[:, :height, :],
         invdepth=invd[:, :height, :],
         final_T=finalT[:height, :],
         radii=radii, visibility=vis,
-        num_duplicates=nd, max_tile_len=ml, overflow=ov)
+        num_duplicates=nd, max_tile_len=ml, overflow=ov,
+        band_duplicates=band_nd)

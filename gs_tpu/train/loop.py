@@ -242,20 +242,32 @@ class Trainer:
             )
 
     def run_block(self, k: int) -> StepMetrics:
-        """Run ``k`` iterations in ONE device dispatch (lax.scan over steps;
-        the ground-truth stack lives on device). The caller must ensure no
+        """Run ``k`` iterations in scan dispatches (lax.scan over steps; the
+        ground-truth stack lives on device). The caller must ensure no
         densify/reset boundary falls inside the block — ``train`` aligns
-        blocks to the schedule."""
+        blocks to the schedule.
+
+        Every dispatch uses ONE bucket length (the densification interval,
+        tail steps masked invalid) so arbitrary block lengths share a single
+        compiled executable."""
         self._ensure_device_data()
-        idxs = np.array([self._next_camera() for _ in range(k)], np.int32)
-        keys = jax.random.split(self._split_key(), k)
+        B = max(int(self.opt.densification_interval), 1)
         d = self._device_data
-        self.state, metrics = self._scan_step(
-            self.state, d["images"], d["alphas"], d["invd"], d["dmask"],
-            d["dok"], jnp.int32(self.iteration), jnp.asarray(idxs), keys)
-        self.iteration += k
+        done = 0
+        while done < k:
+            b = min(B, k - done)
+            real = [self._next_camera() for _ in range(b)]
+            idxs = np.array(real + [real[-1]] * (B - b), np.int32)
+            valid = np.arange(B) < b
+            keys = jax.random.split(self._split_key(), B)
+            self.state, metrics = self._scan_step(
+                self.state, d["images"], d["alphas"], d["invd"], d["dmask"],
+                d["dok"], jnp.int32(self.iteration), jnp.asarray(idxs), keys,
+                jnp.asarray(valid))
+            self.iteration += b
+            done += b
+            self._last_cam = int(real[-1])
         self._last_metrics = metrics
-        self._last_cam = int(idxs[-1])
         return metrics
 
     def _next_boundary(self, i: int, end: int, extra=()) -> int:
@@ -287,6 +299,7 @@ class Trainer:
                 f"non-finite loss at iteration {self.iteration} (camera "
                 f"{self._last_cam}); state snapshot written next to the model")
         self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss  # ref: train.py:142-148
+        self._last_sync_iter = self.iteration
 
     def _dump_debug(self, cam_idx: int):
         """Crash snapshot of the rasterizer inputs — the TPU analogue of the
@@ -312,9 +325,13 @@ class Trainer:
                 math.ceil(math.log2(max(max_tile_len + 1, 2))))
         if not changes:
             return
+        # overflow is only observable at sync points: every step since the
+        # previous sync may have trained on a truncated render/gradient —
+        # report the damage window so runs are auditable
+        ran = self.iteration - getattr(self, "_last_sync_iter", 0)
         print(f"[gs_tpu] binning overflow (dups={num_duplicates}, "
-              f"max_tile={max_tile_len}); re-jitting with {changes}",
-              flush=True)
+              f"max_tile={max_tile_len}); up to {ran} iterations ran "
+              f"truncated; re-jitting with {changes}", flush=True)
         self.raster = dataclasses.replace(self.raster, **changes)
         self._build_step()
 
@@ -325,28 +342,48 @@ class Trainer:
             # grow aggressively: every growth re-jits the train step, which
             # costs tens of seconds of XLA compile — memory is cheaper
             new_cap = cap * factor
+            if self.mesh is not None:
+                k = self.mesh.devices.size
+                new_cap = -(-new_cap // k) * k
             print(f"[gs_tpu] capacity {n_alive}/{cap} alive; "
                   f"growing to {new_cap}", flush=True)
             self.state = grow_capacity(self.state, new_cap)
+            self._reshard()
             self._build_step()
+
+    def _reshard(self):
+        """Re-apply the gauss-axis sharding after any capacity change —
+        grow/compact build fresh arrays whose default placement would
+        silently drop the mesh layout."""
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_state
+            self.state = shard_state(self.state, self.mesh)
 
     # ----------------------------------------------------------------- eval
 
     def _eval_render(self, sh_deg: int, white_bg: bool):
         """Cached jitted per-view render (an unjitted render executes eagerly
-        — hundreds of dispatches per frame)."""
-        key = (sh_deg, white_bg, self.state.capacity,
+        — hundreds of dispatches per frame). The SH degree is a TRACED
+        argument (coefficients above it masked to zero — mathematically the
+        truncated basis, exactly like the train step's ramp) so the degree
+        schedule does not multiply compiles; only (resolution, capacity,
+        raster sizes) do."""
+        key = (white_bg, self.state.capacity,
                self.raster.dup_capacity, self.raster.max_per_tile)
         cache = getattr(self, "_eval_render_cache", None)
         if cache is None:
             cache = self._eval_render_cache = {}
         if key not in cache:
             bg = jnp.ones(3) if white_bg else jnp.zeros(3)
+            from .step import mask_sh_rest
+            max_deg = self.model_cfg.sh_degree
 
-            @jax.jit
-            def render_view(params, alive, cam, scaling_modifier=1.0):
-                out = render(cam, params, bg,
-                             active_sh_degree=sh_deg,
+            @partial(jax.jit, static_argnums=(4,))
+            def render_view(params, alive, cam, active_deg,
+                            scaling_modifier=1.0):
+                masked = mask_sh_rest(params, active_deg)
+                out = render(cam, masked, bg,
+                             active_sh_degree=max_deg,
                              scaling_modifier=scaling_modifier,
                              antialiasing=self.pipe.antialiasing,
                              convert_SHs_python=self.pipe.convert_SHs_python,
@@ -360,7 +397,8 @@ class Trainer:
                 return jnp.clip(out.image, 0.0, 1.0)
 
             cache[key] = render_view
-        return cache[key]
+        fn = cache[key]
+        return lambda p, a, c: fn(p, a, c, jnp.int32(sh_deg))
 
     def evaluate(self, cams: Sequence[LoadedCamera],
                  max_views: Optional[int] = None) -> dict:

@@ -174,16 +174,22 @@ def make_train_steps_scan(train_step, *, use_alpha: bool, use_depth: bool):
     amortizes it to nothing. The ground-truth stack lives on device and each
     step slices its image by a traced camera index.
 
+    A per-step ``valid`` mask lets the trainer run EVERY block at one fixed
+    bucket length (the densification interval): masked steps compute but do
+    not update the state, so a short tail block reuses the same executable
+    instead of triggering a fresh ~100 s XLA compile per distinct length.
+
     Returns ``steps(state, images [B,3,H,W], alphas, invd, dmasks, doks,
-    start_iteration, idxs [K], keys [K]) -> (state, last StepMetrics)``.
+    start_iteration, idxs [K], keys [K], valid [K]) -> (state,
+    last-valid StepMetrics)``.
     """
     core = train_step.__wrapped__
 
     @jax.jit
     def train_steps(state, images, alphas, invdepths, depth_masks, depth_oks,
-                    start_iteration, idxs, keys):
+                    start_iteration, idxs, keys, valid):
         def body(s, inp):
-            off, idx, key = inp
+            off, idx, key, v = inp
             gt = images[idx]
             alpha = alphas[idx] if use_alpha else None
             if use_depth:
@@ -191,19 +197,22 @@ def make_train_steps_scan(train_step, *, use_alpha: bool, use_depth: bool):
                                     depth_oks[idx])
             else:
                 invd, dmask, dok = None, None, jnp.float32(0.0)
-            s, m = core(s, idx, gt, alpha, invd, dmask, dok,
-                        start_iteration + off, key)
+            s2, m = core(s, idx, gt, alpha, invd, dmask, dok,
+                         start_iteration + off, key)
+            s = jax.tree.map(lambda a, b: jnp.where(v, a, b), s2, s)
             return s, m
 
         k = idxs.shape[0]
         offs = jnp.arange(1, k + 1, dtype=jnp.int32)
-        state, ms = jax.lax.scan(body, state, (offs, idxs, keys))
-        last = jax.tree.map(lambda x: x[-1], ms)
+        state, ms = jax.lax.scan(body, state, (offs, idxs, keys, valid))
+        n_valid = jnp.sum(valid.astype(jnp.int32))
+        last = jax.tree.map(lambda x: x[jnp.maximum(n_valid - 1, 0)], ms)
         # surface the worst overflow across the block, not just the last step
+        vmask = valid
         last = last._replace(
-            overflow=jnp.any(ms.overflow),
-            num_duplicates=jnp.max(ms.num_duplicates),
-            max_tile_len=jnp.max(ms.max_tile_len))
+            overflow=jnp.any(ms.overflow & vmask),
+            num_duplicates=jnp.max(jnp.where(vmask, ms.num_duplicates, 0)),
+            max_tile_len=jnp.max(jnp.where(vmask, ms.max_tile_len, 0)))
         return state, last
 
     return train_steps
