@@ -89,6 +89,12 @@ def main():
                           "unit": "pixels/s", "vs_baseline": 0,
                           "error": f"binning overflow dups={nd} maxtile={ml}"}))
         return
+    if ml == 0 and nd > 0:
+        # scalar stat occasionally reads back 0 through the axon tunnel;
+        # re-fetch, then fall back to a safe bound rather than truncating
+        ml = int(np.asarray(chk.max_tile_len))
+        if ml == 0:
+            ml = 2048
     dup_capacity = max(((int(nd * 1.15) + 127) // 128) * 128, 1 << 20)
     max_per_tile = max(((int(ml * 1.3) + 127) // 128) * 128, 1024)
     kwargs = dict(active_sh_degree=3, backend="pallas", alive=alive,

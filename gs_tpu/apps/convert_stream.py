@@ -35,6 +35,10 @@ def main(argv=None):
                         help="rotate the trajectory by the initial-track "
                              "heading (GPS rigs; ref: convert_visual_merged_msg.py:540-546)")
     parser.add_argument("--voxel_size", type=float, default=0.05)
+    parser.add_argument("--icp", action="store_true",
+                        help="ICP-register each local cloud onto the "
+                             "accumulated map before merging "
+                             "(ref: convert_visual_merged_msg.py:393-432)")
     parser.add_argument("--max_points", type=int, default=2_000_000)
     args = parser.parse_args(argv)
 
@@ -104,8 +108,24 @@ def main(argv=None):
                                  os.path.join(sparse_dir, "images.txt"))
 
     if clouds:
-        pts = np.concatenate(clouds, axis=0)
-        pts = voxel_downsample(pts, args.voxel_size)
+        if args.icp:
+            # register each local cloud onto the accumulated map before
+            # merging (ref: convert_visual_merged_msg.py:393-432) — plain
+            # pose-transform merging smears the map under GPS/IMU drift
+            from ..io_live.pointcloud import icp_point_to_point
+            merged = voxel_downsample(clouds[0], args.voxel_size)
+            for c in clouds[1:]:
+                c = voxel_downsample(c, args.voxel_size)
+                T, rmse, n_in = icp_point_to_point(
+                    c, merged, max_corr_dist=5.0 * args.voxel_size)
+                if n_in >= 20:                 # enough overlap to trust it
+                    c = transform_points(c, T)
+                merged = voxel_downsample(
+                    np.concatenate([merged, c]), args.voxel_size)
+            pts = merged
+        else:
+            pts = np.concatenate(clouds, axis=0)
+            pts = voxel_downsample(pts, args.voxel_size)
         if len(pts) > args.max_points:
             sel = np.random.default_rng(0).choice(len(pts), args.max_points,
                                                   replace=False)

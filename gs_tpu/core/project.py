@@ -190,6 +190,18 @@ def preprocess(params: GaussianParams, camera: Camera, *,
     )
 
 
+def mark_visible(camera: Camera, xyz: jnp.ndarray) -> jnp.ndarray:
+    """Frustum-visibility mask without a full render.
+
+    Equivalent of the rasterizer package's ``markVisible(positions,
+    viewmatrix, projmatrix)`` (exposed by the upstream
+    diff-gaussian-rasterization API as ``GaussianRasterizer.markVisible``;
+    the CUDA in_frustum test reduces to view-space z > 0.2 — the same
+    NEAR_CULL_Z used by the preprocess)."""
+    p_view, _ = project_points(camera, xyz)
+    return p_view[:, 2] > NEAR_CULL_Z
+
+
 def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray,
               grid_x: int, grid_y: int, tile_x: int, tile_y: int,
               radius_y: Optional[jnp.ndarray] = None):

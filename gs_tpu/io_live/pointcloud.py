@@ -74,3 +74,49 @@ def rotation_z(angle: float) -> np.ndarray:
 def rotation_x(angle: float) -> np.ndarray:
     c, s = np.cos(angle), np.sin(angle)
     return np.array([[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]])
+
+
+def icp_point_to_point(source: np.ndarray, target: np.ndarray, *,
+                       max_corr_dist: float, max_iterations: int = 50,
+                       rel_rmse: float = 1e-6):
+    """Rigid point-to-point ICP aligning ``source`` onto ``target``.
+
+    Numpy/scipy equivalent of the reference's Open3D GPU ICP used to register
+    successive local maps before merging (ref:
+    convert_visual_merged_msg.py:393-432 — voxel-downsampled clouds,
+    point-to-point estimation, max_correspondence_distance = 5 * voxel,
+    up to 50 iterations, 1e-6 relative-RMSE convergence).
+
+    Returns (T [4,4], rmse, n_inliers).
+    """
+    from scipy.spatial import cKDTree
+    T = np.eye(4)
+    src = source.astype(np.float64).copy()
+    tree = cKDTree(target.astype(np.float64))
+    prev_rmse = np.inf
+    rmse, n_in = np.inf, 0
+    for _ in range(max_iterations):
+        dist, idx = tree.query(src, distance_upper_bound=max_corr_dist)
+        ok = np.isfinite(dist)
+        n_in = int(ok.sum())
+        if n_in < 3:
+            break
+        p = src[ok]
+        q = target[idx[ok]]
+        rmse = float(np.sqrt(np.mean(dist[ok] ** 2)))
+        if abs(prev_rmse - rmse) < rel_rmse * max(prev_rmse, 1e-12):
+            break
+        prev_rmse = rmse
+        # Kabsch: least-squares rigid transform of correspondences
+        pc, qc = p.mean(0), q.mean(0)
+        H = (p - pc).T @ (q - qc)
+        U, _, Vt = np.linalg.svd(H)
+        d = np.sign(np.linalg.det(Vt.T @ U.T))
+        R = Vt.T @ np.diag([1.0, 1.0, d]) @ U.T
+        t = qc - R @ pc
+        src = src @ R.T + t
+        step = np.eye(4)
+        step[:3, :3] = R
+        step[:3, 3] = t
+        T = step @ T
+    return T, rmse, n_in

@@ -38,3 +38,23 @@ def test_yaw_correction():
     a, b = yaw_quaternion(0.3), yaw_quaternion(0.5)
     np.testing.assert_allclose(quat_multiply(a, b), yaw_quaternion(0.8),
                                atol=1e-12)
+
+
+def test_icp_recovers_perturbed_pose(rng):
+    """Point-to-point ICP must undo a small synthetic pose drift
+    (ref capability: convert_visual_merged_msg.py:393-432)."""
+    from gs_tpu.io_live.pointcloud import icp_point_to_point, transform_points
+    # structured cloud (grid + noise) so correspondences are informative
+    g = np.stack(np.meshgrid(np.linspace(0, 2, 12), np.linspace(0, 1, 8),
+                             np.linspace(0, 1.5, 10)), -1).reshape(-1, 3)
+    target = g + rng.normal(0, 0.002, g.shape)
+    ang = 0.04                                  # ~2.3 deg drift
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    t = np.array([0.05, -0.03, 0.02])
+    source = target @ R.T + t                   # drifted copy
+    T, rmse, n_in = icp_point_to_point(source, target, max_corr_dist=0.25)
+    assert n_in > 800
+    aligned = transform_points(source, T)
+    assert np.abs(aligned - target).max() < 0.01
+    assert rmse < 0.01

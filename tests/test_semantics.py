@@ -159,3 +159,16 @@ def test_densify_constants():
     src = inspect.getsource(gaussian_model.densify_and_prune)
     assert "0.8 * 2" in src          # split shrink /(0.8 N), N=2
     assert "0.1 * extent" in src     # world-size prune
+
+
+def test_mark_visible():
+    """markVisible equivalent: frustum z-test matches preprocess culling."""
+    import jax.numpy as jnp
+    from gs_tpu.core.project import mark_visible
+    from utils import default_camera
+    cam = default_camera(64, 48)
+    xyz = jnp.asarray([[0.0, 0.0, 5.0],    # in front
+                       [0.0, 0.0, -2.0],   # behind
+                       [0.0, 0.0, 0.1]])   # inside near-cull band
+    vis = mark_visible(cam, xyz)
+    assert vis.tolist() == [True, False, False]
