@@ -113,7 +113,7 @@ def _chunk_dma(feats_hbm, fbuf, sem, base, k, slot):
 
 def _fwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm, out_ref,
                 ustore_ref, fbuf, sem, *, gx, tile_x, tile_y, pix, max_chunks,
-                tiles_per_program, row_stride):
+                tiles_per_program, row_stride, save_ustore):
     l_incl, _ = _tri_matrices(CS)
     for tb in range(tiles_per_program):                  # static unroll
         t = pl.program_id(0) * tiles_per_program + tb
@@ -158,11 +158,15 @@ def _fwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm, out_ref,
                 cum = jnp.dot(l_incl, lg,
                               preferred_element_type=jnp.float32)
                 u_prev = out_ref[tb, 4:5]                # [1, PIX]
-                # checkpoint the chunk's ENTERING transmittance — the
-                # backward reads it instead of re-sweeping the tile
-                ustore_ref[tb, pl.ds(k, 1), :] = u_prev
+                if save_ustore:
+                    # checkpoint the chunk's ENTERING transmittance — the
+                    # backward reads it instead of re-sweeping the tile
+                    # (no-grad renders compile without this store)
+                    ustore_ref[tb, pl.ds(k, 1), :] = u_prev
                 u_incl = u_prev * jnp.exp(cum)
-                u_excl = u_prev * jnp.exp(cum - lg)
+                # == u_prev * exp(cum - lg); division trades the second
+                # [CS,PIX] transcendental for a cheap reciprocal
+                u_excl = u_incl / (1.0 - alpha)
                 live = (u_incl >= T_EPS).astype(jnp.float32)
                 w = alpha * u_excl * live                # [CS, PIX]
 
@@ -185,134 +189,178 @@ def _fwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm, out_ref,
         out_ref[tb, 6:7] = jnp.full((1, pix), kproc.astype(jnp.float32))
 
 
+def _moment_matrix(tile_x, pix):
+    """[PIX, 6] columns (1, pl, ql, pl^2, ql^2, pl*ql) of TILE-LOCAL pixel
+    coordinates. One [CS,PIX] x [PIX,6] MXU contraction of dpower against
+    this replaces six cross-lane reductions: every geometry gradient is a
+    polynomial in dx = xl - pl, dy = yl - ql, so it expands into these
+    moments. Local coordinates (|pl| < 16) keep the expansion cancellation-
+    free — global pixel coordinates would lose ~4 digits at 1080p."""
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    plx = (pidx % tile_x).astype(jnp.float32)
+    qly = (pidx // tile_x).astype(jnp.float32)
+    one = jnp.ones((pix, 1), jnp.float32)
+    return jnp.concatenate(
+        [one, plx, qly, plx * plx, qly * qly, plx * qly], axis=1)
+
+
 def _bwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm,
                 out_fwd_ref, ustore_ref, dout_ref, zeros_hbm, dfeats_hbm,
                 fbuf, dbuf_rd, dbuf_wr, sem_in, sem_rd, sem_wr, *,
-                gx, tile_x, tile_y, pix, max_chunks, row_stride):
+                gx, tile_x, tile_y, pix, max_chunks, row_stride,
+                tiles_per_program):
     del zeros_hbm  # aliased into dfeats_hbm (zero initialization)
-    t = pl.program_id(0)
-    start = tile_start_ref[t]
-    end = tile_end_ref[t]
-    base = pl.multiple_of((start // CS) * CS, CS)
     l_incl, s_upper = _tri_matrices(CS)
-    px, py = _pixel_rows(t, gx, tile_x, tile_y, pix,
-                         row_phase=rowp_ref[0], row_stride=row_stride)
+    moments = _moment_matrix(tile_x, pix)                 # [PIX, 6]
 
-    dldc = dout_ref[0, 0:3]                               # [3, PIX]
-    dldi = dout_ref[0, 3:4]                               # [1, PIX]
-    dldt = dout_ref[0, 5:6]                               # [1, PIX]
-    tmin = out_fwd_ref[0, 5:6]                            # [1, PIX] value
-    # chunks the forward actually composited (it checkpointed the entering
-    # transmittance of each into ustore, so no re-sweep is needed here)
-    kproc = out_fwd_ref[0, 6, 0].astype(jnp.int32)
+    for tb in range(tiles_per_program):                   # static unroll
+        t = pl.program_id(0) * tiles_per_program + tb
+        start = tile_start_ref[t]
+        end = tile_end_ref[t]
+        base = pl.multiple_of((start // CS) * CS, CS)
+        px, py = _pixel_rows(t, gx, tile_x, tile_y, pix,
+                             row_phase=rowp_ref[0], row_stride=row_stride)
+        # tile origin: pixel coords = origin + local (moment expansion frame)
+        ox = (t % gx).astype(jnp.float32) * tile_x
+        oy = (((t // gx) * row_stride + rowp_ref[0])
+              .astype(jnp.float32) * tile_y)
 
-    # ---- back-to-front sweep with suffix carry S ---------------------------
-    # Double-buffered: chunk k-1's feature load and d-chunk read stream while
-    # chunk k computes; writes overlap the next chunk's compute and are
-    # awaited before their buffer slot is reused (and before program end, so
-    # the next tile's read of a shared boundary chunk is ordered).
-    def rd_dma(slot, k):
-        return pltpu.make_async_copy(
-            dfeats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
-            dbuf_rd.at[slot], sem_rd.at[slot])
+        dldc = dout_ref[tb, 0:3]                          # [3, PIX]
+        dldi = dout_ref[tb, 3:4]                          # [1, PIX]
+        dldt = dout_ref[tb, 5:6]                          # [1, PIX]
+        tmin = out_fwd_ref[tb, 5:6]                       # [1, PIX] value
+        # chunks the forward actually composited (it checkpointed the
+        # entering transmittance of each into ustore, so no re-sweep here)
+        kproc = out_fwd_ref[tb, 6, 0].astype(jnp.int32)
 
-    def wr_dma(slot, k):
-        return pltpu.make_async_copy(
-            dbuf_wr.at[slot],
-            dfeats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
-            sem_wr.at[slot])
+        # back-to-front sweep with suffix carry S. Double-buffered: chunk
+        # k-1's feature load and d-chunk read stream while chunk k computes;
+        # writes overlap the next chunk's compute and are awaited before
+        # their buffer slot is reused (and before the next tile starts, so a
+        # shared boundary chunk's read-modify-write stays ordered).
+        def rd_dma(slot, k, base=base):
+            return pltpu.make_async_copy(
+                dfeats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
+                dbuf_rd.at[slot], sem_rd.at[slot])
 
-    @pl.when(kproc > 0)
-    def _():
-        _chunk_dma(feats_hbm, fbuf, sem_in, base, kproc - 1, 0).start()
-        rd_dma(0, kproc - 1).start()
+        def wr_dma(slot, k, base=base):
+            return pltpu.make_async_copy(
+                dbuf_wr.at[slot],
+                dfeats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
+                sem_wr.at[slot])
 
-    def body2(j, carry):
-        s_carry, wk0, wk1 = carry                    # pending write k per slot
-        k = kproc - 1 - j
-        slot = jax.lax.rem(j, 2)
+        @pl.when(kproc > 0)
+        def _(kproc=kproc, base=base):
+            _chunk_dma(feats_hbm, fbuf, sem_in, base, kproc - 1, 0).start()
+            rd_dma(0, kproc - 1).start()
 
-        @pl.when(j + 1 < kproc)
-        def _():
-            _chunk_dma(feats_hbm, fbuf, sem_in, base, k - 1, 1 - slot).start()
-            rd_dma(1 - slot, k - 1).start()
+        def body2(j, carry, kproc=kproc, base=base, start=start, end=end,
+                  px=px, py=py, ox=ox, oy=oy, dldc=dldc, dldi=dldi,
+                  dldt=dldt, tmin=tmin):
+            s_carry, wk0, wk1 = carry                # pending write k per slot
+            k = kproc - 1 - j
+            slot = jax.lax.rem(j, 2)
 
-        _chunk_dma(feats_hbm, fbuf, sem_in, base, k, slot).wait()
-        rd_dma(slot, k).wait()
-        f = fbuf[slot].T                             # [CS, NFEAT]
-        vmask = _entry_mask(base, k, start, end)
-        alpha, g, opg, dx, dy, gate = _chunk_alpha(f, vmask, px, py)
-        lg = jnp.log1p(-alpha)
-        cum = jnp.dot(l_incl, lg, preferred_element_type=jnp.float32)
-        u_prev = ustore_ref[0, pl.ds(k, 1), :]
-        u_incl = u_prev * jnp.exp(cum)
-        u_excl = u_prev * jnp.exp(cum - lg)
-        live = (u_incl >= T_EPS).astype(jnp.float32)
-        w = alpha * u_excl * live                     # [CS, PIX]
+            @pl.when(j + 1 < kproc)
+            def _():
+                _chunk_dma(feats_hbm, fbuf, sem_in, base, k - 1,
+                           1 - slot).start()
+                rd_dma(1 - slot, k - 1).start()
 
-        # per-(entry,pixel) upstream scalar: c_e . dL/dC_p + invd_e dL/dI_p
-        cdot = jax.lax.dot_general(
-            f[:, 6:9], dldc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # [CS, PIX]
-        cdot = cdot + f[:, 9:10] * dldi
-        wc = w * cdot
-        suffix = jnp.dot(s_upper, wc,
-                         preferred_element_type=jnp.float32)
-        s_total = suffix + s_carry                    # [CS, PIX]
+            _chunk_dma(feats_hbm, fbuf, sem_in, base, k, slot).wait()
+            rd_dma(slot, k).wait()
+            f = fbuf[slot].T                         # [CS, NFEAT]
+            vmask = _entry_mask(base, k, start, end)
+            alpha, g, opg, dx, dy, gate = _chunk_alpha(f, vmask, px, py)
+            lg = jnp.log1p(-alpha)
+            cum = jnp.dot(l_incl, lg, preferred_element_type=jnp.float32)
+            u_prev = ustore_ref[tb, pl.ds(k, 1), :]
+            u_incl = u_prev * jnp.exp(cum)
+            inv1ma = 1.0 / (1.0 - alpha)
+            u_excl = u_incl * inv1ma           # == u_prev * exp(cum - lg)
+            live = (u_incl >= T_EPS).astype(jnp.float32)
+            w = alpha * u_excl * live                 # [CS, PIX]
 
-        inv1ma = 1.0 / (1.0 - alpha)
-        dalpha = (cdot * u_excl * live
-                  - s_total * inv1ma
-                  - dldt * tmin * inv1ma * live)
+            # per-(entry,pixel) upstream: c_e . dL/dC_p + invd_e dL/dI_p
+            cdot = jax.lax.dot_general(
+                f[:, 6:9], dldc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [CS, PIX]
+            cdot = cdot + f[:, 9:10] * dldi
+            wc = w * cdot
+            suffix = jnp.dot(s_upper, wc,
+                             preferred_element_type=jnp.float32)
+            s_total = suffix + s_carry                # [CS, PIX]
 
-        dopg = dalpha * gate
-        d_op = jnp.sum(dopg * g, axis=1, keepdims=True)       # [CS,1]
-        dpower = dopg * opg
-        d_ca = jnp.sum(dpower * (-0.5 * dx * dx), axis=1, keepdims=True)
-        d_cb = jnp.sum(dpower * (-dx * dy), axis=1, keepdims=True)
-        d_cc = jnp.sum(dpower * (-0.5 * dy * dy), axis=1, keepdims=True)
-        ca = f[:, 2:3]
-        cb = f[:, 3:4]
-        cc = f[:, 4:5]
-        d_x = jnp.sum(dpower * (-(ca * dx + cb * dy)), axis=1,
-                      keepdims=True)
-        d_y = jnp.sum(dpower * (-(cc * dy + cb * dx)), axis=1,
-                      keepdims=True)
-        d_rgb = jax.lax.dot_general(
-            w, dldc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [CS, 3]
-        d_invd = jax.lax.dot_general(
-            w, dldi, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [CS, 1]
+            dalpha = (cdot * u_excl * live
+                      - s_total * inv1ma
+                      - dldt * tmin * inv1ma * live)
 
-        zeros6 = jnp.zeros((CS, NFEAT - 10), jnp.float32)
-        dgrad = jnp.concatenate(
-            [d_x, d_y, d_ca, d_cb, d_cc, d_op, d_rgb, d_invd, zeros6],
-            axis=1)                                   # [CS, NFEAT]
-        dgrad = jnp.where(vmask, dgrad, 0.0)
+            # geometry gradients via the moment expansion: every reduction
+            # sum_p dpower * poly(dx, dy) becomes a polynomial in the six
+            # pixel moments of dpower (dx = xl - pl with tile-local coords)
+            dpower = dalpha * gate * opg              # [CS, PIX]
+            S = jax.lax.dot_general(
+                dpower, moments, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [CS, 6]
+            s0 = S[:, 0:1]
+            sx = S[:, 1:2]
+            sy = S[:, 2:3]
+            sxx = S[:, 3:4]
+            syy = S[:, 4:5]
+            sxy = S[:, 5:6]
+            xl = f[:, 0:1] - ox
+            yl = f[:, 1:2] - oy
+            op = f[:, 5:6]
+            ca = f[:, 2:3]
+            cb = f[:, 3:4]
+            cc = f[:, 4:5]
+            # d_op = sum_p dalpha*gate*g = sum_p dpower / op
+            d_op = jnp.where(op > 0.0, s0 / jnp.where(op > 0.0, op, 1.0),
+                             0.0)
+            d_ca = -0.5 * (xl * xl * s0 - 2.0 * xl * sx + sxx)
+            d_cb = -(xl * yl * s0 - xl * sy - yl * sx + sxy)
+            d_cc = -0.5 * (yl * yl * s0 - 2.0 * yl * sy + syy)
+            mx = xl * s0 - sx                         # sum_p dpower * dx
+            my = yl * s0 - sy
+            d_x = -(ca * mx + cb * my)
+            d_y = -(cc * my + cb * mx)
+            d_rgb = jax.lax.dot_general(
+                w, dldc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [CS, 3]
+            d_invd = jax.lax.dot_general(
+                w, dldi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [CS, 1]
 
-        # read-modify-write: boundary chunks are shared with adjacent tiles
-        # (grid programs run sequentially on the core, so this is race-free);
-        # wait the previous write on this slot before reusing its buffer
-        pending = jnp.where(slot == 0, wk0, wk1)
+            zeros6 = jnp.zeros((CS, NFEAT - 10), jnp.float32)
+            dgrad = jnp.concatenate(
+                [d_x, d_y, d_ca, d_cb, d_cc, d_op, d_rgb, d_invd, zeros6],
+                axis=1)                               # [CS, NFEAT]
+            dgrad = jnp.where(vmask, dgrad, 0.0)
 
-        @pl.when(pending >= 0)
-        def _():
-            wr_dma(slot, pending).wait()
-        dbuf_wr[slot] = dbuf_rd[slot] + dgrad.T
-        wr_dma(slot, k).start()
-        wk0 = jnp.where(slot == 0, k, wk0)
-        wk1 = jnp.where(slot == 1, k, wk1)
-        return (jnp.sum(wc, axis=0, keepdims=True) + s_carry, wk0, wk1)
+            # read-modify-write: boundary chunks are shared with adjacent
+            # tiles (grid programs run sequentially on the core, so this is
+            # race-free); wait the previous write on this slot before
+            # reusing its buffer
+            pending = jnp.where(slot == 0, wk0, wk1)
 
-    _, wk0_f, wk1_f = jax.lax.fori_loop(
-        0, kproc, body2,
-        (jnp.zeros((1, pix), jnp.float32),
-         jnp.int32(-1), jnp.int32(-1)))
-    for slot, wkf in ((0, wk0_f), (1, wk1_f)):
-        @pl.when(wkf >= 0)
-        def _(slot=slot, wkf=wkf):
-            wr_dma(slot, wkf).wait()
+            @pl.when(pending >= 0)
+            def _():
+                wr_dma(slot, pending).wait()
+            dbuf_wr[slot] = dbuf_rd[slot] + dgrad.T
+            wr_dma(slot, k).start()
+            wk0 = jnp.where(slot == 0, k, wk0)
+            wk1 = jnp.where(slot == 1, k, wk1)
+            return (jnp.sum(wc, axis=0, keepdims=True) + s_carry, wk0, wk1)
+
+        _, wk0_f, wk1_f = jax.lax.fori_loop(
+            0, kproc, body2,
+            (jnp.zeros((1, pix), jnp.float32),
+             jnp.int32(-1), jnp.int32(-1)))
+        # drain writes before the next tile may touch a shared boundary chunk
+        for slot, wkf in ((0, wk0_f), (1, wk1_f)):
+            @pl.when(wkf >= 0)
+            def _(slot=slot, wkf=wkf):
+                wr_dma(slot, wkf).wait()
 
 
 class _Statics(NamedTuple):
@@ -329,13 +377,16 @@ class _Statics(NamedTuple):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _raster_tiles(feats, tile_start, tile_end, row_phase, statics: _Statics):
+    # primal (no-grad) path skips the transmittance checkpoint entirely —
+    # eval/viewer renders compile a leaner kernel; the grad path's fwd rule
+    # computes the identical `out` WITH the checkpoint
     out, _ = _raster_tiles_fwd(feats, tile_start, tile_end, row_phase,
-                               statics)
+                               statics, save_ustore=False)
     return out
 
 
 def _raster_tiles_fwd(feats, tile_start, tile_end, row_phase,
-                      statics: _Statics):
+                      statics: _Statics, save_ustore: bool = True):
     s = statics
     pix = s.tile_x * s.tile_y
     tbp = s.tiles_per_program
@@ -344,6 +395,7 @@ def _raster_tiles_fwd(feats, tile_start, tile_end, row_phase,
         pad = t_pad - tile_start.shape[0]
         tile_start = jnp.pad(tile_start, (0, pad))
         tile_end = jnp.pad(tile_end, (0, pad))   # empty padded tiles
+    u_chunks = s.max_chunks if save_ustore else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t_pad // tbp,),
@@ -353,7 +405,7 @@ def _raster_tiles_fwd(feats, tile_start, tile_end, row_phase,
                          memory_space=pltpu.VMEM),
             # per-chunk entering-transmittance checkpoint, consumed by the
             # backward (rows >= kproc are left unwritten and never read)
-            pl.BlockSpec((tbp, s.max_chunks, pix), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tbp, u_chunks, pix), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -365,13 +417,14 @@ def _raster_tiles_fwd(feats, tile_start, tile_end, row_phase,
                                tile_y=s.tile_y, pix=pix,
                                max_chunks=s.max_chunks,
                                tiles_per_program=tbp,
-                               row_stride=s.row_stride)
+                               row_stride=s.row_stride,
+                               save_ustore=save_ustore)
     out, ustore = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, 8, pix), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, s.max_chunks, pix), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, u_chunks, pix), jnp.float32),
         ],
         interpret=s.interpret,
     )(tile_start, tile_end, row_phase, feats)
@@ -384,16 +437,25 @@ def _raster_tiles_bwd(statics: _Statics, residuals, dout):
     s = statics
     feats, tile_start, tile_end, row_phase, out_fwd, ustore = residuals
     pix = s.tile_x * s.tile_y
+    tbp = s.tiles_per_program
+    t_pad = -(-s.num_tiles // tbp) * tbp
+    if t_pad != s.num_tiles:
+        pad = t_pad - s.num_tiles
+        tile_start = jnp.pad(tile_start, (0, pad))
+        tile_end = jnp.pad(tile_end, (0, pad))       # empty padded tiles
+        out_fwd = jnp.pad(out_fwd, ((0, pad), (0, 0), (0, 0)))
+        ustore = jnp.pad(ustore, ((0, pad), (0, 0), (0, 0)))
+        dout = jnp.pad(dout, ((0, pad), (0, 0), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(s.num_tiles,),
+        grid=(t_pad // tbp,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, 8, pix), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tbp, 8, pix), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s.max_chunks, pix), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tbp, s.max_chunks, pix), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, pix), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tbp, 8, pix), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
@@ -410,7 +472,8 @@ def _raster_tiles_bwd(statics: _Statics, residuals, dout):
     kernel = functools.partial(_bwd_kernel, gx=s.gx, tile_x=s.tile_x,
                                tile_y=s.tile_y, pix=pix,
                                max_chunks=s.max_chunks,
-                               row_stride=s.row_stride)
+                               row_stride=s.row_stride,
+                               tiles_per_program=tbp)
     zeros = jnp.zeros_like(feats)
     dfeats = pl.pallas_call(
         kernel,

@@ -21,9 +21,9 @@ D = 1 << 22            # duplicate capacity
 NT = 8160              # tiles at 1080p / 16x16
 
 
-def slope(name, fn, k1=1, k2=5):
+def slope(name, fn, k1=1, k2=5, jit=True):
     import jax
-    f = jax.jit(fn)
+    f = jax.jit(fn) if jit else fn
     s = f(np.float32(0.0))
     float(s)  # compile + first run
     def run(k):
@@ -175,7 +175,8 @@ def main():
         slope("searchsorted_2xNT", f)
 
     # ---- full pipeline stages on the real bench scene ----------------------
-    if on("pipeline") or on("binning") or on("prep") or on("fwd") or on("step"):
+    if (on("pipeline") or on("binning") or on("prep") or on("fwd")
+            or on("step") or on("kfwd") or on("kbwd")):
         sys.path.insert(0, "/root/repo")
         import bench as B
         from gs_tpu.core.camera import make_camera, focal2fov
@@ -229,18 +230,21 @@ def main():
             phase0 = jnp.zeros((1,), jnp.int32)
             st = _Statics(num_tiles=8160, gx=120, tile_x=16, tile_y=16,
                           max_chunks=65, interpret=False, tiles_per_program=4)
+            # pass the big arrays as ARGUMENTS — closed-over device arrays
+            # bake into the HLO as constants and blow the remote-compile
+            # request limit (HTTP 413) at 270 MB
             if on("kfwd"):
-                def f(s):
-                    out = _raster_tiles(feats0 + s * 1e-30, ts, te, phase0, st)
-                    return s + 1 + out[0, 0, 0] * 1e-30
-                slope("kernel_fwd_only", f)
+                jf = jax.jit(lambda s, ft, a, b: s + 1 + _raster_tiles(
+                    ft + s * 1e-30, a, b, phase0, st)[0, 0, 0] * 1e-30)
+                slope("kernel_fwd_only",
+                      lambda s, _j=jf: _j(s, feats0, ts, te), jit=False)
             if on("kbwd"):
-                def f(s):
-                    g = jax.grad(lambda ft: jnp.sum(
-                        _raster_tiles(ft, ts, te, phase0, st)[:, 0:4]))(
-                        feats0 + s * 1e-30)
-                    return s + 1 + g[0, 0] * 1e-30
-                slope("kernel_fwd_plus_bwd", f)
+                def _loss(ft, a, b):
+                    return jnp.sum(_raster_tiles(ft, a, b, phase0, st)[:, 0:4])
+                jg = jax.jit(lambda s, ft, a, b: s + 1 + jax.grad(_loss)(
+                    ft + s * 1e-30, a, b)[0, 0] * 1e-30)
+                slope("kernel_fwd_plus_bwd",
+                      lambda s, _j=jg: _j(s, feats0, ts, te), jit=False)
 
         if on("fwd") or on("pipeline"):
             def f(s):
