@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from .camera import Camera
 from .gaussians import (GaussianParams, covariance_3d, get_opacity,
                         get_scaling, unpack_symmetric)
-from .sh import eval_sh
+from .sh import eval_sh_coeffs
 
 NEAR_CULL_Z = 0.2
 LOWPASS = 0.3
@@ -66,6 +66,104 @@ def project_points(camera: Camera, xyz: jnp.ndarray):
     pix_x = ((ndc[:, 0] + 1.0) * W - 1.0) * 0.5
     pix_y = ((ndc[:, 1] + 1.0) * H - 1.0) * 0.5
     return p_view[:, :3], jnp.stack([pix_x, pix_y], axis=-1)
+
+
+def _project_channels(camera: Camera, xyz: jnp.ndarray):
+    """project_points as flat [N] channels (identical math, no [N,4]
+    intermediates — keeps the whole chain in one XLA fusion)."""
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    V = camera.world_view
+    P = camera.full_proj
+    vx = V[0, 0] * x + V[0, 1] * y + V[0, 2] * z + V[0, 3]
+    vy = V[1, 0] * x + V[1, 1] * y + V[1, 2] * z + V[1, 3]
+    vz = V[2, 0] * x + V[2, 1] * y + V[2, 2] * z + V[2, 3]
+    hx = P[0, 0] * x + P[0, 1] * y + P[0, 2] * z + P[0, 3]
+    hy = P[1, 0] * x + P[1, 1] * y + P[1, 2] * z + P[1, 3]
+    hw = P[3, 0] * x + P[3, 1] * y + P[3, 2] * z + P[3, 3]
+    p_w = 1.0 / (hw + 1e-7)
+    W = jnp.float32(camera.width)
+    H = jnp.float32(camera.height)
+    pix_x = ((hx * p_w + 1.0) * W - 1.0) * 0.5
+    pix_y = ((hy * p_w + 1.0) * H - 1.0) * 0.5
+    return vx, vy, vz, pix_x, pix_y
+
+
+def _cov3d_channels(log_scale, scaling_modifier, quat):
+    """covariance_3d as 6 flat channels (xx, xy, xz, yy, yz, zz).
+
+    Same math as build_scaling_rotation + L L^T (utils/general_utils.py:
+    64-110) with no [N,3,3] intermediates."""
+    qn = jnp.sqrt(jnp.sum(quat * quat, axis=-1))
+    r = quat[:, 0] / qn
+    qx = quat[:, 1] / qn
+    qy = quat[:, 2] / qn
+    qz = quat[:, 3] / qn
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - r * qz)
+    r02 = 2 * (qx * qz + r * qy)
+    r10 = 2 * (qx * qy + r * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - r * qx)
+    r20 = 2 * (qx * qz - r * qy)
+    r21 = 2 * (qy * qz + r * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    s0 = scaling_modifier * jnp.exp(log_scale[:, 0])
+    s1 = scaling_modifier * jnp.exp(log_scale[:, 1])
+    s2 = scaling_modifier * jnp.exp(log_scale[:, 2])
+    a0, a1, a2 = s0 * s0, s1 * s1, s2 * s2   # Sigma = R diag(s^2) R^T
+    xx = a0 * r00 * r00 + a1 * r01 * r01 + a2 * r02 * r02
+    xy = a0 * r00 * r10 + a1 * r01 * r11 + a2 * r02 * r12
+    xz = a0 * r00 * r20 + a1 * r01 * r21 + a2 * r02 * r22
+    yy = a0 * r10 * r10 + a1 * r11 * r11 + a2 * r12 * r12
+    yz = a0 * r10 * r20 + a1 * r11 * r21 + a2 * r12 * r22
+    zz = a0 * r20 * r20 + a1 * r21 * r21 + a2 * r22 * r22
+    return xx, xy, xz, yy, yz, zz
+
+
+def _cov2d_channels(camera: Camera, vx, vy, vz, sig):
+    """EWA projection as flat channels; ``sig`` = 6-tuple (xx..zz).
+
+    Identical math to compute_cov2d: cov2d = (J W) Sigma (J W)^T with the
+    clamped Jacobian, +0.3 px low-pass on the diagonal."""
+    limx = 1.3 * camera.tan_fovx
+    limy = 1.3 * camera.tan_fovy
+    txtz = vx / vz
+    tytz = vy / vz
+    tx = jnp.clip(txtz, -limx, limx) * vz
+    ty = jnp.clip(tytz, -limy, limy) * vz
+    fx = camera.focal_x
+    fy = camera.focal_y
+    inv_z = 1.0 / vz
+    inv_z2 = inv_z * inv_z
+    # J rows: [fx/z, 0, -fx*x/z^2], [0, fy/z, -fy*y/z^2]
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
+    Wr = camera.world_view[:3, :3]
+    # rows of (J W): u_k = j00*W[0,k] + j02*W[2,k]; v_k = j11*W[1,k] + j12*W[2,k]
+    u0 = j00 * Wr[0, 0] + j02 * Wr[2, 0]
+    u1 = j00 * Wr[0, 1] + j02 * Wr[2, 1]
+    u2 = j00 * Wr[0, 2] + j02 * Wr[2, 2]
+    v0 = j11 * Wr[1, 0] + j12 * Wr[2, 0]
+    v1 = j11 * Wr[1, 1] + j12 * Wr[2, 1]
+    v2 = j11 * Wr[1, 2] + j12 * Wr[2, 2]
+    xx, xy, xz, yy, yz, zz = sig
+    # Sigma u and Sigma v (symmetric)
+    su0 = xx * u0 + xy * u1 + xz * u2
+    su1 = xy * u0 + yy * u1 + yz * u2
+    su2 = xz * u0 + yz * u1 + zz * u2
+    sv0 = xx * v0 + xy * v1 + xz * v2
+    sv1 = xy * v0 + yy * v1 + yz * v2
+    sv2 = xz * v0 + yz * v1 + zz * v2
+    cxx = u0 * su0 + u1 * su1 + u2 * su2
+    cxy = v0 * su0 + v1 * su1 + v2 * su2
+    cyy = v0 * sv0 + v1 * sv1 + v2 * sv2
+    det_orig = cxx * cyy - cxy * cxy
+    cxx = cxx + LOWPASS
+    cyy = cyy + LOWPASS
+    det_dilated = cxx * cyy - cxy * cxy
+    return cxx, cxy, cyy, det_orig, det_dilated
 
 
 def compute_cov2d(camera: Camera, p_view: jnp.ndarray, cov3d_packed: jnp.ndarray):
@@ -117,23 +215,24 @@ def preprocess(params: GaussianParams, camera: Camera, *,
     Dead (padding) slots are forced invisible via ``alive``.
     """
     xyz = params.xyz
-    p_view, pix = project_points(camera, xyz)
-    depth = p_view[:, 2]
+    vx, vy, vz, pix_x, pix_y = _project_channels(camera, xyz)
+    depth = vz
     in_front = depth > NEAR_CULL_Z
 
     if cov3d_precomp is None:
-        cov3d = covariance_3d(get_scaling(params), scaling_modifier, params.quat)
+        sig = _cov3d_channels(params.log_scale, scaling_modifier, params.quat)
     else:
-        cov3d = cov3d_precomp
-    cov2d, det_orig, det = compute_cov2d(camera, p_view, cov3d)
+        sig = tuple(cov3d_precomp[:, i] for i in range(6))
+    cxx, cxy, cyy, det_orig, det = _cov2d_channels(camera, vx, vy, vz, sig)
 
     det_ok = det != 0.0
     inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
-    conic = jnp.stack([cov2d[:, 2] * inv_det,
-                       -cov2d[:, 1] * inv_det,
-                       cov2d[:, 0] * inv_det], axis=-1)
+    pix = jnp.stack([pix_x, pix_y], axis=-1)
+    conic = jnp.stack([cyy * inv_det,
+                       -cxy * inv_det,
+                       cxx * inv_det], axis=-1)
 
-    mid = 0.5 * (cov2d[:, 0] + cov2d[:, 2])
+    mid = 0.5 * (cxx + cyy)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda1 = mid + disc
     lambda2 = mid - disc
@@ -160,8 +259,8 @@ def preprocess(params: GaussianParams, camera: Camera, *,
     # guarantees pixel coverage to r-1) and any f32 rounding at tangency.
     log_term = jnp.log(jnp.maximum(255.0 * opacity, 1e-12))
     two_l = 2.0 * jnp.maximum(log_term, 0.0)
-    rcx = jnp.ceil(jnp.sqrt(two_l * jnp.maximum(cov2d[:, 0], 0.0))) + 1.0
-    rcy = jnp.ceil(jnp.sqrt(two_l * jnp.maximum(cov2d[:, 2], 0.0))) + 1.0
+    rcx = jnp.ceil(jnp.sqrt(two_l * jnp.maximum(cxx, 0.0))) + 1.0
+    rcy = jnp.ceil(jnp.sqrt(two_l * jnp.maximum(cyy, 0.0))) + 1.0
     keep = visible & (log_term > 0.0)
     radius_cull = jnp.stack([
         jnp.where(keep, jnp.minimum(rcx, radius_f), 0.0),
@@ -173,9 +272,12 @@ def preprocess(params: GaussianParams, camera: Camera, *,
     else:
         dirs = xyz - camera.camera_center[None, :]
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        feats = jnp.concatenate([params.sh_dc, params.sh_rest], axis=1)  # [N, K, 3]
-        sh = jnp.swapaxes(feats, 1, 2)                                   # [N, 3, K]
-        rgb = eval_sh(active_sh_degree, sh, dirs)
+        # per-band [N, 3] slices straight off the parameters — no
+        # [N, K, 3] concat + transpose materialization
+        coeffs = ([params.sh_dc[:, 0, :]] +
+                  [params.sh_rest[:, i, :]
+                   for i in range(params.sh_rest.shape[1])])
+        rgb = eval_sh_coeffs(active_sh_degree, coeffs, dirs)
         rgb = jnp.maximum(rgb + 0.5, 0.0)
 
     return Projected(

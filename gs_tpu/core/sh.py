@@ -52,9 +52,23 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
       [..., C]
     ref: utils/sh_utils.py:57-112
     """
+    assert sh.shape[-1] >= (deg + 1) ** 2
+    return eval_sh_coeffs(deg, [sh[..., i] for i in range(sh.shape[-1])],
+                          dirs)
+
+
+def eval_sh_coeffs(deg: int, coeffs, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Same evaluation over a LIST of per-band coefficient arrays
+    (coeffs[i]: [..., C]) — callers with [N, K, C]-layout parameters pass
+    middle-axis slices directly, skipping the [N, K, C] -> [N, C, K]
+    concat + transpose materializations the array form needs."""
     assert 0 <= deg <= 4
-    coeff = (deg + 1) ** 2
-    assert sh.shape[-1] >= coeff
+    table = {i: coeffs[i] for i in range(min(len(coeffs), (deg + 1) ** 2))}
+
+    class _S:
+        def __getitem__(self, idx):
+            return table[idx[-1]]
+    sh = _S()
 
     result = C0 * sh[..., 0]
     if deg > 0:

@@ -2,9 +2,14 @@
 
 Usage: python scripts/perf_micro.py stage1 stage2 ...   (or 'all')
 
-Timing follows CLAUDE.md's slope protocol: each jitted probe takes and
-returns a carried scalar so successive calls chain (no cache-serving through
-the axon tunnel); report (t_k2 - t_k1) / (k2 - k1).
+Methodology (hard-won, see memory/gs-tpu-round2-perf.md):
+- slope timing with a chained scalar (axon tunnel: block_until_ready lies,
+  identical calls can be cache-served);
+- EVERY array input is passed as a jit ARGUMENT — closed-over device arrays
+  become HLO constants, which (a) blow the remote-compile request limit at
+  ~100MB+ (HTTP 413) and (b) let XLA CONSTANT-FOLD whole pipeline stages
+  (a sort with constant keys compiles to a constant-index gather), silently
+  under-measuring.
 """
 import json
 import math
@@ -21,15 +26,14 @@ D = 1 << 22            # duplicate capacity
 NT = 8160              # tiles at 1080p / 16x16
 
 
-def slope(name, fn, k1=1, k2=5, jit=True):
+def slope(name, fn, *args, k1=1, k2=5, jit=True):
     import jax
     f = jax.jit(fn) if jit else fn
-    s = f(np.float32(0.0))
-    float(s)  # compile + first run
+    float(f(np.float32(0.0), *args))   # compile + first run
     def run(k):
         x = np.float32(0.0)
         for _ in range(k):
-            x = f(x)
+            x = f(x, *args)
         return float(x)
     t0 = time.perf_counter(); run(k1); t1 = time.perf_counter() - t0
     t0 = time.perf_counter(); run(k2); t2 = time.perf_counter() - t0
@@ -41,7 +45,6 @@ def slope(name, fn, k1=1, k2=5, jit=True):
 def make_inputs():
     import jax.numpy as jnp
     rng = np.random.default_rng(0)
-    # counts distribution roughly like the bench scene: ~7 tiles/gaussian
     counts = rng.poisson(6.9, N).astype(np.int32)
     total = int(counts.sum())
     if total > D:
@@ -71,113 +74,75 @@ def main():
           flush=True)
 
     if on("sort2"):
-        def f(s):
-            k2 = key + (s * 1e-30).astype(jnp.int32)
-            o = jax.lax.sort((k2, gid), dimension=0, is_stable=False,
-                             num_keys=1)
-            return s + 1 + o[1][0].astype(jnp.float32) * 1e-30
-        slope("sort2_unstable_int", f)
-
-    if on("sort2s"):
-        def f(s):
+        def f(s, key, gid):
             k2 = key + (s * 1e-30).astype(jnp.int32)
             o = jax.lax.sort((k2, gid), dimension=0, is_stable=True,
                              num_keys=1)
             return s + 1 + o[1][0].astype(jnp.float32) * 1e-30
-        slope("sort2_stable_int", f)
+        slope("sort2_stable_int", f, key, gid)
 
     if on("sort12"):
-        def f(s):
-            v0 = vcols[0] + s * 1e-30
-            o = jax.lax.sort((key, gid, v0) + vcols[1:], dimension=0,
+        def f(s, key, gid, *vc):
+            k2 = key + (s * 1e-30).astype(jnp.int32)
+            o = jax.lax.sort((k2, gid) + vc, dimension=0,
                              is_stable=True, num_keys=1)
             return s + 1 + o[2][0] * 1e-30
-        slope("sort12_stable", f)
-
-    if on("sort12u"):
-        def f(s):
-            v0 = vcols[0] + s * 1e-30
-            o = jax.lax.sort((key, gid, v0) + vcols[1:], dimension=0,
-                             is_stable=False, num_keys=1)
-            return s + 1 + o[2][0] * 1e-30
-        slope("sort12_unstable", f)
+        slope("sort12_stable", f, key, gid, *vcols)
 
     if on("gather"):
-        def f(s):
-            t = packets + s * 1e-30
-            g = jnp.take(t, jnp.minimum(gid, N - 1), axis=0)   # [D,16]
+        def f(s, t, gid):
+            g = jnp.take(t + s * 1e-30, jnp.minimum(gid, N - 1), axis=0)
             return s + 1 + g[0, 0] * 1e-30
-        slope("gather_rows16_DfromN", f)
-
-    if on("repeat5"):
-        table = jnp.tile(jnp.arange(5, dtype=jnp.int32)[None], (N, 1))
-        def f(s):
-            t = table + (s * 1e-30).astype(jnp.int32)
-            r = jnp.repeat(t, counts, axis=0, total_repeat_length=D)
-            return s + 1 + r[0, 0].astype(jnp.float32) * 1e-30
-        slope("repeat_rows5_i32", f)
+        slope("gather_rows16_DfromN", f, packets, gid)
 
     if on("repeat15"):
         table15 = jnp.concatenate(
             [jnp.tile(jnp.arange(5, dtype=jnp.float32)[None], (N, 1)),
              packets[:, :10]], axis=1)
-        def f(s):
-            t = table15 + s * 1e-30
-            r = jnp.repeat(t, counts, axis=0, total_repeat_length=D)
+        def f(s, t, c):
+            r = jnp.repeat(t + s * 1e-30, c, axis=0, total_repeat_length=D)
             return s + 1 + r[0, 0] * 1e-30
-        slope("repeat_rows15_f32", f)
-
-    if on("segcompact"):
-        from gs_tpu.ops.segment import segment_sum_compact
-        def f(s):
-            v = vals + s * 1e-30
-            o = segment_sum_compact(v, jnp.minimum(gid, N - 1), N)
-            return s + 1 + o[0, 0] * 1e-30
-        slope("segsum_compact", f)
+        slope("repeat_rows15_f32", f, table15, counts)
 
     if on("segrunend"):
         from gs_tpu.ops.segment import segment_sum_runend
-        def f(s):
-            v0 = vcols[0] + s * 1e-30
-            o = segment_sum_runend((v0,) + vcols[1:], gid, counts, N)
+        def f(s, c, g, *vc):
+            o = segment_sum_runend((vc[0] + s * 1e-30,) + vc[1:], g, c, N)
             return s + 1 + o[0, 0] * 1e-30
-        slope("segsum_runend", f)
+        slope("segsum_runend", f, counts, gid, *vcols)
 
-    if on("cumsum2d"):
-        def f(s):
-            v = vals + s * 1e-30
-            return s + 1 + jnp.cumsum(v, axis=0)[-1, 0] * 1e-30
-        slope("cumsum_D10_axis0", f)
+    if on("stack0"):
+        def f(s, *vc):
+            st = jnp.stack((vc[0] + s * 1e-30,) + vc[1:], axis=0)  # [10, D]
+            return s + 1 + st[0, 0] * 1e-30
+        slope("stack_10cols_axis0", f, *vcols)
 
-    if on("cumsum1d"):
-        def f(s):
+    if on("slicerows"):
+        big = jnp.asarray(np.random.default_rng(3).standard_normal(
+            (16, D)).astype(np.float32))
+        def f(s, b):
+            b = b + s * 1e-30
             acc = s * 0.0
             for i in range(10):
-                acc = acc + jnp.cumsum(vcols[i] + s * 1e-30)[-1]
+                acc = acc + b[i][0]
             return s + 1 + acc * 1e-30
-        slope("cumsum_10x_1d", f)
-
-    if on("stack"):
-        def f(s):
-            v0 = vcols[0] + s * 1e-30
-            st = jnp.stack((v0,) + vcols[1:], axis=1)
-            return s + 1 + st[0, 0] * 1e-30
-        slope("stack_10cols_to_D10", f)
+        slope("slice_10rows_of_16D", f, big)
 
     if on("searchsorted"):
         skey = jnp.sort(key)
         tiles = jnp.arange(NT, dtype=jnp.int32)
-        def f(s):
-            k2 = skey + (s * 1e-30).astype(jnp.int32)
-            a = jnp.searchsorted(k2, tiles, side='left')
-            b = jnp.searchsorted(k2, tiles + 1, side='left')
+        def f(s, sk, t):
+            sk = sk + (s * 1e-30).astype(jnp.int32)
+            a = jnp.searchsorted(sk, t, side='left')
+            b = jnp.searchsorted(sk, t + 1, side='left')
             return s + 1 + (a[0] + b[0]).astype(jnp.float32) * 1e-30
-        slope("searchsorted_2xNT", f)
+        slope("searchsorted_2xNT", f, skey, tiles)
 
     # ---- full pipeline stages on the real bench scene ----------------------
-    if (on("pipeline") or on("binning") or on("prep") or on("fwd")
-            or on("step") or on("kfwd") or on("kbwd")):
-        sys.path.insert(0, "/root/repo")
+    pipeline_stages = {"pipeline", "binning", "prep", "prepbwd", "fwd",
+                       "step", "kfwd", "kbwd", "featsfwd", "featsbwd",
+                       "untile"}
+    if which & pipeline_stages or "all" in which:
         import bench as B
         from gs_tpu.core.camera import make_camera, focal2fov
         from gs_tpu.core.project import preprocess
@@ -194,74 +159,159 @@ def main():
         kwargs = dict(active_sh_degree=3, backend="pallas", alive=alive,
                       dup_capacity=1 << 22, max_per_tile=8192, chunk=64)
 
+        def prep_of(p):
+            return preprocess(p, cam, active_sh_degree=3, alive=alive)
+
         if on("prep") or on("pipeline"):
-            def f(s):
-                p = params._replace(xyz=params.xyz + s * 1e-30)
-                proj = preprocess(p, cam, active_sh_degree=3, alive=alive)
-                pk = pack_projected(proj)
-                return s + 1 + pk[0, 0] * 1e-30
-            slope("preprocess_pack", f)
+            def f(s, p):
+                p = p._replace(xyz=p.xyz + s * 1e-30)
+                return s + 1 + pack_projected(prep_of(p))[0, 0] * 1e-30
+            slope("preprocess_pack", f, params)
+
+        if on("prepbwd") or on("pipeline"):
+            def f(s, p):
+                g = jax.grad(lambda q: jnp.sum(pack_projected(
+                    prep_of(q)) ** 2) * 1e-12)(p._replace(xyz=p.xyz + s * 1e-30))
+                return s + 1 + g.xyz[0, 0] * 1e-30
+            slope("preprocess_pack_fwd_bwd", f, params)
 
         if on("binning") or on("pipeline"):
-            proj0 = jax.jit(lambda p: preprocess(
-                p, cam, active_sh_degree=3, alive=alive))(params)
-            pk0 = jax.jit(pack_projected)(proj0)
-            def f(s):
-                pk = pk0 + s * 1e-30
+            def f(s, p):
+                p = p._replace(xyz=p.xyz + s * 1e-30)
+                proj = prep_of(p)
+                pk = pack_projected(proj)
                 bins, cols = bin_gaussians_payload(
-                    proj0, pk, 1920, 1080, 16, 16, 1 << 22)
+                    proj, pk, 1920, 1080, 16, 16, 1 << 22)
                 return s + 1 + (cols[0][0]
-                                + bins.tile_start[0].astype(jnp.float32)) * 1e-30
-            slope("binning_payload", f)
+                                + bins.tile_start[0].astype(jnp.float32)
+                                + bins.gauss_counts[0].astype(jnp.float32)
+                                ) * 1e-30
+            slope("prep_pack_binning", f, params)
+
+        if on("featsfwd") or on("featsbwd") or on("pipeline"):
+            from gs_tpu.ops.rasterize_pallas import _bin_with_payload
+            def feats_of(p):
+                proj = prep_of(p)
+                pk = pack_projected(proj)
+                bins, colz = _bin_with_payload(
+                    pk, jax.tree.map(jax.lax.stop_gradient, proj),
+                    (1920, 1080, 16, 16, 1 << 22, 1),
+                    jnp.zeros((1,), jnp.int32))
+                return jnp.stack(colz, axis=0)
+            if on("featsfwd") or on("pipeline"):
+                def f(s, p):
+                    ft = feats_of(p._replace(xyz=p.xyz + s * 1e-30))
+                    return s + 1 + ft[0, 0] * 1e-30
+                slope("feats_fwd", f, params)
+            if on("featsbwd") or on("pipeline"):
+                def f(s, p):
+                    g = jax.grad(lambda q: jnp.sum(feats_of(q) ** 2) * 1e-12)(
+                        p._replace(xyz=p.xyz + s * 1e-30))
+                    return s + 1 + g.xyz[0, 0] * 1e-30
+                slope("feats_fwd_bwd", f, params)
+
+        if on("binbwd"):
+            # _bin_with_payload fwd+bwd w.r.t. the packets ONLY (prep/pack
+            # excluded): isolates the binning VJP (slices + segsum + glue)
+            from gs_tpu.ops.rasterize_pallas import _bin_with_payload
+            proj0 = jax.jit(prep_of)(params)
+            pk0 = jax.jit(pack_projected)(proj0)
+            proj_sg = jax.tree.map(jax.lax.stop_gradient, proj0)
+            def f(s, pk, pj):
+                def loss(q):
+                    _, colz = _bin_with_payload(
+                        q, pj, (1920, 1080, 16, 16, 1 << 22, 1),
+                        jnp.zeros((1,), jnp.int32))
+                    return jnp.sum(jnp.stack(colz, axis=0) ** 2) * 1e-12
+                g = jax.grad(loss)(pk + s * 1e-30)
+                return s + 1 + g[0, 0] * 1e-30
+            slope("bin_payload_fwd_bwd", f, pk0, proj_sg)
+
+        if on("segreal2"):
+            from gs_tpu.ops.segment import segment_sum_runend
+            proj0 = jax.jit(prep_of)(params)
+            pk0 = jax.jit(pack_projected)(proj0)
+            bins, _ = jax.jit(lambda pk: bin_gaussians_payload(
+                proj0, pk, 1920, 1080, 16, 16, 1 << 22))(pk0)
+            gid_r = jnp.where(bins.entry_valid, bins.entry_gid, N)
+            counts_r = bins.gauss_counts
+            def f(s, g_, c_, *vc):
+                o = segment_sum_runend((vc[0] + s * 1e-30,) + vc[1:],
+                                       g_, c_, N)
+                return s + 1 + o[0, 0] * 1e-30
+            slope("segsum_runend_realgid", f, gid_r, counts_r, *vcols)
 
         if on("kfwd") or on("kbwd"):
-            from gs_tpu.ops.rasterize_pallas import (_raster_tiles, _Statics,
-                                                     pack_projected as _pp,
-                                                     CS, NFEAT)
-            proj0 = jax.jit(lambda p: preprocess(
-                p, cam, active_sh_degree=3, alive=alive))(params)
+            from gs_tpu.ops.rasterize_pallas import _raster_tiles, _Statics
+            proj0 = jax.jit(prep_of)(params)
             pk0 = jax.jit(pack_projected)(proj0)
             bins, colz = jax.jit(lambda pk: bin_gaussians_payload(
                 proj0, pk, 1920, 1080, 16, 16, 1 << 22))(pk0)
+            feats0 = jnp.stack(colz, axis=0)
             feats0 = jnp.concatenate(
-                [jnp.stack(colz, axis=0),
-                 jnp.zeros((6, colz[0].shape[0]), jnp.float32)], axis=0)
+                [feats0, jnp.zeros((6, feats0.shape[1]), jnp.float32)], 0)
             ts, te = bins.tile_start, bins.tile_end
             phase0 = jnp.zeros((1,), jnp.int32)
             st = _Statics(num_tiles=8160, gx=120, tile_x=16, tile_y=16,
                           max_chunks=65, interpret=False, tiles_per_program=4)
-            # pass the big arrays as ARGUMENTS — closed-over device arrays
-            # bake into the HLO as constants and blow the remote-compile
-            # request limit (HTTP 413) at 270 MB
             if on("kfwd"):
                 jf = jax.jit(lambda s, ft, a, b: s + 1 + _raster_tiles(
                     ft + s * 1e-30, a, b, phase0, st)[0, 0, 0] * 1e-30)
                 slope("kernel_fwd_only",
-                      lambda s, _j=jf: _j(s, feats0, ts, te), jit=False)
+                      lambda s, *a: jf(s, *a), feats0, ts, te, jit=False)
             if on("kbwd"):
                 def _loss(ft, a, b):
                     return jnp.sum(_raster_tiles(ft, a, b, phase0, st)[:, 0:4])
                 jg = jax.jit(lambda s, ft, a, b: s + 1 + jax.grad(_loss)(
                     ft + s * 1e-30, a, b)[0, 0] * 1e-30)
                 slope("kernel_fwd_plus_bwd",
-                      lambda s, _j=jg: _j(s, feats0, ts, te), jit=False)
+                      lambda s, *a: jg(s, *a), feats0, ts, te, jit=False)
+
+        if on("untile"):
+            # output assembly in isolation: out [T,8,PIX] -> image/invd/T
+            # exactly as rasterize_pallas does, forward and backward
+            out0 = jnp.asarray(np.random.default_rng(7).standard_normal(
+                (8160, 8, 256)).astype(np.float32))
+            gy, gx_ = 68, 120
+            def assemble(o):
+                color = o[:, 0:3, :]
+                invd = o[:, 3, :]
+                tmin = o[:, 5, :]
+                img = color + tmin[:, None, :] * bg[None, :, None]
+                def untile(x):
+                    c = x.shape[1]
+                    x = x.reshape(gy, gx_, c, 16, 16)
+                    x = x.transpose(2, 0, 3, 1, 4).reshape(c, gy * 16,
+                                                           gx_ * 16)
+                    return x[:, :1080, :]
+                return (untile(img), untile(invd[:, None, :]),
+                        untile(tmin[:, None, :]))
+            def f(s, o):
+                a, b, c = assemble(o + s * 1e-30)
+                return s + 1 + (a[0, 0, 0] + b[0, 0, 0] + c[0, 0, 0]) * 1e-30
+            slope("untile_fwd", f, out0)
+            def f2(s, o):
+                g = jax.grad(lambda q: sum(jnp.sum(x) for x in
+                                           assemble(q)) * 1e-12)(
+                    o + s * 1e-30)
+                return s + 1 + g[0, 0, 0] * 1e-30
+            slope("untile_fwd_bwd", f2, out0)
 
         if on("fwd") or on("pipeline"):
-            def f(s):
-                p = params._replace(xyz=params.xyz + s * 1e-30)
+            def f(s, p):
+                p = p._replace(xyz=p.xyz + s * 1e-30)
                 out = render(cam, p, bg, **kwargs)
                 return s + 1 + out.image[0, 0, 0] * 1e-30
-            slope("render_fwd", f)
+            slope("render_fwd", f, params)
 
         if on("step") or on("pipeline"):
             def loss_fn(p):
                 out = render(cam, p, bg, **kwargs)
                 return jnp.mean(jnp.abs(out.image - gt))
-            def f(s):
-                p = params._replace(xyz=params.xyz + s * 1e-30)
-                g = jax.grad(loss_fn)(p)
+            def f(s, p):
+                g = jax.grad(loss_fn)(p._replace(xyz=p.xyz + s * 1e-30))
                 return s + 1 + g.xyz[0, 0] * 1e-30
-            slope("render_fwd_bwd", f)
+            slope("render_fwd_bwd", f, params)
 
 
 if __name__ == "__main__":
