@@ -74,16 +74,24 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     # 1. global depth order (stable; invisible last)
     depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key)                       # [N] stable
-    mean2d_s = jnp.take(proj.mean2d, order, axis=0)
     # bin at the opacity-aware cull bbox when the preprocess provides it
-    # (exact: beyond it alpha < 1/255 at every pixel — see core/project.py)
+    # (exact: beyond it alpha < 1/255 at every pixel — see core/project.py).
+    # ONE packed gather by `order` replaces 4-5 separate ones (each random
+    # [N]-row gather costs ~ the same regardless of width).
     if proj.radius_cull is not None:
-        rc = jnp.take(proj.radius_cull, order, axis=0)   # [N, 2]
-        radius_sx, radius_sy = rc[:, 0], rc[:, 1]
+        rcull = proj.radius_cull
     else:
-        radius_sx = radius_sy = jnp.take(proj.radius, order, axis=0)
-    visible_s = (jnp.take(proj.visible, order, axis=0)
-                 & (radius_sx > 0) & (radius_sy > 0))
+        rcull = jnp.stack([proj.radius, proj.radius], axis=1)
+    geom = jnp.concatenate([
+        proj.mean2d,                                            # 0:2
+        jax.lax.bitcast_convert_type(rcull, jnp.float32),       # 2:4
+        proj.visible.astype(jnp.float32)[:, None],              # 4
+    ] + ([payload] if payload is not None else []), axis=1)     # 5:
+    geom_s = jnp.take(geom, order, axis=0)               # [N, 5(+F)]
+    mean2d_s = geom_s[:, 0:2]
+    rc = jax.lax.bitcast_convert_type(geom_s[:, 2:4], jnp.int32)
+    radius_sx, radius_sy = rc[:, 0], rc[:, 1]
+    visible_s = (geom_s[:, 4] > 0.5) & (radius_sx > 0) & (radius_sy > 0)
 
     # 2. tile spans in depth order
     if row_stride == 1:
@@ -116,7 +124,7 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
                        order.astype(jnp.int32)], axis=1)  # [N, 5] i32
     if payload is not None:
         f = payload.shape[1]
-        payload_s = jnp.take(payload, order, axis=0)     # [N, F]
+        payload_s = geom_s[:, 5:]                        # [N, F] (pre-packed)
         comb = jnp.concatenate(
             [jax.lax.bitcast_convert_type(table, jnp.float32), payload_s],
             axis=1)                                      # [N, 5+F]

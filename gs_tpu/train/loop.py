@@ -378,7 +378,7 @@ class Trainer:
             from .step import mask_sh_rest
             max_deg = self.model_cfg.sh_degree
 
-            @partial(jax.jit, static_argnums=(4,))
+            @jax.jit
             def render_view(params, alive, cam, active_deg,
                             scaling_modifier=1.0):
                 masked = mask_sh_rest(params, active_deg)
@@ -398,7 +398,8 @@ class Trainer:
 
             cache[key] = render_view
         fn = cache[key]
-        return lambda p, a, c: fn(p, a, c, jnp.int32(sh_deg))
+        return lambda p, a, c, sm=1.0: fn(p, a, c, jnp.int32(sh_deg),
+                                          jnp.float32(sm))
 
     def evaluate(self, cams: Sequence[LoadedCamera],
                  max_views: Optional[int] = None) -> dict:

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 N = 1 << 19            # gaussian capacity (bench scale)
-D = 1 << 22            # duplicate capacity
+D = 1 << int(os.environ.get("GS_CAP_LOG2", "22"))   # duplicate capacity
 NT = 8160              # tiles at 1080p / 16x16
 
 
@@ -104,6 +104,39 @@ def main():
             return s + 1 + r[0, 0] * 1e-30
         slope("repeat_rows15_f32", f, table15, counts)
 
+    if on("repeat2"):
+        # jnp.repeat alternative: sorted-scatter marks + cumsum + sorted
+        # monotone gather (jnp.repeat's internal scatter-add carries no
+        # sortedness hints)
+        table15 = jnp.concatenate(
+            [jnp.tile(jnp.arange(5, dtype=jnp.float32)[None], (N, 1)),
+             packets[:, :10]], axis=1)
+        def f(s, t, c):
+            t = t + s * 1e-30
+            offsets = jnp.cumsum(c) - c
+            marks = jnp.zeros((D,), jnp.int32).at[offsets].add(
+                1, mode='drop', indices_are_sorted=True)
+            gidx = jnp.cumsum(marks) - 1
+            r = t.at[jnp.maximum(gidx, 0)].get(indices_are_sorted=True,
+                                               mode='clip')
+            return s + 1 + r[0, 0] * 1e-30
+        slope("repeat2_sortedscatter", f, table15, counts)
+
+    if on("repeat3"):
+        # scatter-free: searchsorted(ends, eidx) source indices
+        table15 = jnp.concatenate(
+            [jnp.tile(jnp.arange(5, dtype=jnp.float32)[None], (N, 1)),
+             packets[:, :10]], axis=1)
+        def f(s, t, c):
+            t = t + s * 1e-30
+            ends = jnp.cumsum(c)
+            gidx = jnp.searchsorted(ends, jnp.arange(D, dtype=jnp.int32),
+                                    side='right')
+            r = t.at[jnp.minimum(gidx, N - 1)].get(indices_are_sorted=True,
+                                                   mode='clip')
+            return s + 1 + r[0, 0] * 1e-30
+        slope("repeat3_searchsorted", f, table15, counts)
+
     if on("segrunend"):
         from gs_tpu.ops.segment import segment_sum_runend
         def f(s, c, g, *vc):
@@ -141,7 +174,7 @@ def main():
     # ---- full pipeline stages on the real bench scene ----------------------
     pipeline_stages = {"pipeline", "binning", "prep", "prepbwd", "fwd",
                        "step", "kfwd", "kbwd", "featsfwd", "featsbwd",
-                       "untile"}
+                       "untile", "manualbwd", "binbwd", "segreal2", "seg2f", "prepvjp2"}
     if which & pipeline_stages or "all" in which:
         import bench as B
         from gs_tpu.core.camera import make_camera, focal2fov
@@ -157,7 +190,7 @@ def main():
         bg = jnp.zeros(3)
         gt = jnp.zeros((3, 1080, 1920), jnp.float32)
         kwargs = dict(active_sh_degree=3, backend="pallas", alive=alive,
-                      dup_capacity=1 << 22, max_per_tile=8192, chunk=64)
+                      dup_capacity=D, max_per_tile=8192, chunk=64)
 
         def prep_of(p):
             return preprocess(p, cam, active_sh_degree=3, alive=alive)
@@ -165,14 +198,15 @@ def main():
         if on("prep") or on("pipeline"):
             def f(s, p):
                 p = p._replace(xyz=p.xyz + s * 1e-30)
-                return s + 1 + pack_projected(prep_of(p))[0, 0] * 1e-30
+                return s + 1 + jnp.sum(pack_projected(prep_of(p))) * 1e-30
             slope("preprocess_pack", f, params)
 
         if on("prepbwd") or on("pipeline"):
             def f(s, p):
                 g = jax.grad(lambda q: jnp.sum(pack_projected(
                     prep_of(q)) ** 2) * 1e-12)(p._replace(xyz=p.xyz + s * 1e-30))
-                return s + 1 + g.xyz[0, 0] * 1e-30
+                return s + 1 + (jnp.sum(g.xyz) + jnp.sum(g.log_scale)
+                                + jnp.sum(g.quat)) * 1e-30
             slope("preprocess_pack_fwd_bwd", f, params)
 
         if on("binning") or on("pipeline"):
@@ -181,10 +215,10 @@ def main():
                 proj = prep_of(p)
                 pk = pack_projected(proj)
                 bins, cols = bin_gaussians_payload(
-                    proj, pk, 1920, 1080, 16, 16, 1 << 22)
-                return s + 1 + (cols[0][0]
-                                + bins.tile_start[0].astype(jnp.float32)
-                                + bins.gauss_counts[0].astype(jnp.float32)
+                    proj, pk, 1920, 1080, 16, 16, D)
+                return s + 1 + (jnp.sum(cols[0])
+                                + jnp.sum(bins.tile_start).astype(jnp.float32)
+                                + jnp.sum(bins.gauss_counts).astype(jnp.float32)
                                 ) * 1e-30
             slope("prep_pack_binning", f, params)
 
@@ -195,19 +229,19 @@ def main():
                 pk = pack_projected(proj)
                 bins, colz = _bin_with_payload(
                     pk, jax.tree.map(jax.lax.stop_gradient, proj),
-                    (1920, 1080, 16, 16, 1 << 22, 1),
+                    (1920, 1080, 16, 16, D, 1),
                     jnp.zeros((1,), jnp.int32))
                 return jnp.stack(colz, axis=0)
             if on("featsfwd") or on("pipeline"):
                 def f(s, p):
                     ft = feats_of(p._replace(xyz=p.xyz + s * 1e-30))
-                    return s + 1 + ft[0, 0] * 1e-30
+                    return s + 1 + jnp.sum(ft) * 1e-30
                 slope("feats_fwd", f, params)
             if on("featsbwd") or on("pipeline"):
                 def f(s, p):
                     g = jax.grad(lambda q: jnp.sum(feats_of(q) ** 2) * 1e-12)(
                         p._replace(xyz=p.xyz + s * 1e-30))
-                    return s + 1 + g.xyz[0, 0] * 1e-30
+                    return s + 1 + (jnp.sum(g.xyz) + jnp.sum(g.quat)) * 1e-30
                 slope("feats_fwd_bwd", f, params)
 
         if on("binbwd"):
@@ -220,7 +254,7 @@ def main():
             def f(s, pk, pj):
                 def loss(q):
                     _, colz = _bin_with_payload(
-                        q, pj, (1920, 1080, 16, 16, 1 << 22, 1),
+                        q, pj, (1920, 1080, 16, 16, D, 1),
                         jnp.zeros((1,), jnp.int32))
                     return jnp.sum(jnp.stack(colz, axis=0) ** 2) * 1e-12
                 g = jax.grad(loss)(pk + s * 1e-30)
@@ -232,7 +266,7 @@ def main():
             proj0 = jax.jit(prep_of)(params)
             pk0 = jax.jit(pack_projected)(proj0)
             bins, _ = jax.jit(lambda pk: bin_gaussians_payload(
-                proj0, pk, 1920, 1080, 16, 16, 1 << 22))(pk0)
+                proj0, pk, 1920, 1080, 16, 16, D))(pk0)
             gid_r = jnp.where(bins.entry_valid, bins.entry_gid, N)
             counts_r = bins.gauss_counts
             def f(s, g_, c_, *vc):
@@ -241,12 +275,60 @@ def main():
                 return s + 1 + o[0, 0] * 1e-30
             slope("segsum_runend_realgid", f, gid_r, counts_r, *vcols)
 
+        if on("manualbwd"):
+            # the backward side reconstructed as a standalone function:
+            # 2f cotangent -> slices -> segment-sum -> pack/prep VJP.
+            # If this is fast while the composed jax.grad is slow, the cost
+            # is a composition artifact, not any one stage.
+            from gs_tpu.ops.segment import segment_sum_runend
+            proj0 = jax.jit(prep_of)(params)
+            pk0 = jax.jit(pack_projected)(proj0)
+            bins, colz = jax.jit(lambda pk: bin_gaussians_payload(
+                proj0, pk, 1920, 1080, 16, 16, D))(pk0)
+            feats0 = jnp.stack(colz, axis=0)            # [10, D]
+            gid_r = jnp.where(bins.entry_valid, bins.entry_gid, 1 << 19)
+            counts_r = bins.gauss_counts
+            def f(s, ft, g_, c_, p):
+                d = 2.0 * (ft + s * 1e-30)
+                d_pk = segment_sum_runend(
+                    tuple(d[i] for i in range(10)), g_, c_, 1 << 19)
+                _, vjp = jax.vjp(lambda q: pack_projected(prep_of(q)), p)
+                (gp,) = vjp(d_pk * 1e-12)
+                return s + 1 + (jnp.sum(gp.xyz) + jnp.sum(gp.quat)) * 1e-30
+            slope("manual_bwd_side", f, feats0, gid_r, counts_r, params)
+
+        if on("seg2f") or on("prepvjp2"):
+            from gs_tpu.ops.segment import segment_sum_runend
+            proj0 = jax.jit(prep_of)(params)
+            pk0 = jax.jit(pack_projected)(proj0)
+            bins, colz = jax.jit(lambda pk: bin_gaussians_payload(
+                proj0, pk, 1920, 1080, 16, 16, D))(pk0)
+            feats0 = jnp.stack(colz, axis=0)            # [10, D]
+            gid_r = jnp.where(bins.entry_valid, bins.entry_gid, 1 << 19)
+            counts_r = bins.gauss_counts
+            if on("seg2f"):
+                def f(s, ft, g_, c_):
+                    d = 2.0 * (ft + s * 1e-30)
+                    o = segment_sum_runend(
+                        tuple(d[i] for i in range(10)), g_, c_, 1 << 19)
+                    return s + 1 + o[0, 0] * 1e-30
+                slope("slices_plus_segsum", f, feats0, gid_r, counts_r)
+            if on("prepvjp2"):
+                d_pk0 = jax.jit(lambda ft, g_, c_: segment_sum_runend(
+                    tuple(ft[i] for i in range(10)), g_, c_, 1 << 19))(
+                    feats0, gid_r, counts_r)
+                def f(s, dpk, p):
+                    _, vjp = jax.vjp(lambda q: pack_projected(prep_of(q)), p)
+                    (gp,) = vjp(dpk + s * 1e-30)
+                    return s + 1 + (jnp.sum(gp.xyz) + jnp.sum(gp.quat)) * 1e-30
+                slope("prep_pack_vjp_dyncot", f, d_pk0, params)
+
         if on("kfwd") or on("kbwd"):
             from gs_tpu.ops.rasterize_pallas import _raster_tiles, _Statics
             proj0 = jax.jit(prep_of)(params)
             pk0 = jax.jit(pack_projected)(proj0)
             bins, colz = jax.jit(lambda pk: bin_gaussians_payload(
-                proj0, pk, 1920, 1080, 16, 16, 1 << 22))(pk0)
+                proj0, pk, 1920, 1080, 16, 16, D))(pk0)
             feats0 = jnp.stack(colz, axis=0)
             feats0 = jnp.concatenate(
                 [feats0, jnp.zeros((6, feats0.shape[1]), jnp.float32)], 0)
@@ -310,7 +392,7 @@ def main():
                 return jnp.mean(jnp.abs(out.image - gt))
             def f(s, p):
                 g = jax.grad(loss_fn)(p._replace(xyz=p.xyz + s * 1e-30))
-                return s + 1 + g.xyz[0, 0] * 1e-30
+                return s + 1 + (jnp.sum(g.xyz) + jnp.sum(g.quat)) * 1e-30
             slope("render_fwd_bwd", f, params)
 
 

@@ -144,3 +144,102 @@ def test_viewer_roundtrip(tiny_scene, tmp_path):
     direct = np.asarray(jnp.clip(render_fn(cam, 1.0), 0, 1))
     direct8 = (direct * 255).astype(np.uint8).transpose(1, 2, 0)
     np.testing.assert_array_equal(results["img"], direct8)
+
+
+def test_viewer_stock_sibr_bytes(tiny_scene):
+    """Wire-exact handshake: feed the server the RAW BYTES a stock SIBR
+    remote client sends (4-byte LE length + JSON with network_gui.py:60-79's
+    exact field set, glm-transposed matrices with the client-side sign
+    conventions) and assert the reply framing: H*W*3 RGB bytes, then 4-byte
+    LE length + ascii source path (network_gui.py:44-55). Makes the
+    interop claim falsifiable without the C++ client."""
+    import json as _json
+    import socket
+    import struct
+    import threading
+    import numpy as np
+    import jax.numpy as jnp
+    from gs_tpu.data.scene import Scene
+    from gs_tpu.models.gaussian_model import create_from_pcd
+    from gs_tpu.render import render
+    from gs_tpu.viewer.server import ViewerServer
+
+    scene = Scene(tiny_scene, "", shuffle=False)
+    pts, cols, _ = scene.point_cloud
+    params, alive = create_from_pcd(pts, cols, sh_degree=1, capacity=64)
+    cam = scene.get_train_cameras()[0].camera
+    W, H = 64, 48
+
+    def render_fn(camera, scaling_modifier):
+        return render(camera, params, jnp.zeros(3), active_sh_degree=0,
+                      scaling_modifier=scaling_modifier, alive=alive,
+                      backend="binned", dup_capacity=4096,
+                      max_per_tile=64, chunk=32).image
+
+    server = ViewerServer("127.0.0.1", 0, render_fn=render_fn,
+                          source_path="/data/truck")
+    port = server.listener.getsockname()[1]
+
+    # what the C++ client puts on the wire: glm-transposed matrices, with
+    # the columns the SERVER will flip back (network_gui.py:74-78)
+    wv = np.asarray(cam.world_view).T.copy()      # glm storage = transposed
+    wv[:, 1] = -wv[:, 1]
+    wv[:, 2] = -wv[:, 2]
+    fp = np.asarray(cam.full_proj).T.copy()
+    fp[:, 1] = -fp[:, 1]
+    msg = {
+        "resolution_x": W, "resolution_y": H, "train": False,
+        "fov_y": 2.0 * float(np.arctan(cam.tan_fovy)),
+        "fov_x": 2.0 * float(np.arctan(cam.tan_fovx)),
+        "z_near": 0.01, "z_far": 100.0,
+        "shs_python": False, "rot_scale_python": False,
+        "keep_alive": False, "scaling_modifier": 1.0,
+        "view_matrix": [float(v) for v in wv.reshape(-1)],
+        "view_projection_matrix": [float(v) for v in fp.reshape(-1)],
+    }
+    payload = _json.dumps(msg).encode("utf-8")
+    wire = struct.pack("<I", len(payload)) + payload
+
+    reply = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.sendall(wire)
+        buf = b""
+        want = H * W * 3 + 4
+        while len(buf) < want:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+        n = struct.unpack("<I", buf[H * W * 3:H * W * 3 + 4])[0]
+        while len(buf) < want + n:
+            buf += s.recv(65536)
+        reply["rgb"] = buf[:H * W * 3]
+        reply["path"] = buf[want:want + n].decode("ascii")
+        s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    for _ in range(600):
+        server.try_connect()
+        server.poll(in_training=False)
+        if reply:
+            break
+    t.join(timeout=30)
+    server.close()
+
+    assert reply["path"] == "/data/truck"
+    img = np.frombuffer(reply["rgb"], np.uint8).reshape(H, W, 3)
+    # sanity: the rendered frame matches a direct render of the same camera
+    from gs_tpu.core.camera import make_camera
+    import math as _m
+    direct = render_fn(make_camera(
+        np.eye(3), np.zeros(3), 2 * _m.atan(float(cam.tan_fovx)),
+        2 * _m.atan(float(cam.tan_fovy)), W, H).__class__(
+        world_view=cam.world_view, full_proj=cam.full_proj,
+        camera_center=cam.camera_center, tan_fovx=cam.tan_fovx,
+        tan_fovy=cam.tan_fovy, width=W, height=H), 1.0)
+    want_img = (np.asarray(jnp.clip(direct, 0, 1)) * 255).astype(
+        np.uint8).transpose(1, 2, 0)
+    assert np.abs(img.astype(int) - want_img.astype(int)).max() <= 1
