@@ -82,15 +82,18 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
         rcull = proj.radius_cull
     else:
         rcull = jnp.stack([proj.radius, proj.radius], axis=1)
+    # radii ride as f32 VALUES (exact below 2^24) — NOT bitcast patterns:
+    # under GSPMD a partitioned gather can lower to select+psum, and TPU
+    # arithmetic flushes denormals, zeroing bitcast small-int payloads
     geom = jnp.concatenate([
         proj.mean2d,                                            # 0:2
-        jax.lax.bitcast_convert_type(rcull, jnp.float32),       # 2:4
+        rcull.astype(jnp.float32),                              # 2:4
         proj.visible.astype(jnp.float32)[:, None],              # 4
     ] + ([payload] if payload is not None else []), axis=1)     # 5:
     geom_s = jnp.take(geom, order, axis=0)               # [N, 5(+F)]
     mean2d_s = geom_s[:, 0:2]
-    rc = jax.lax.bitcast_convert_type(geom_s[:, 2:4], jnp.int32)
-    radius_sx, radius_sy = rc[:, 0], rc[:, 1]
+    radius_sx = geom_s[:, 2].astype(jnp.int32)
+    radius_sy = geom_s[:, 3].astype(jnp.int32)
     visible_s = (geom_s[:, 4] > 0.5) & (radius_sx > 0) & (radius_sy > 0)
 
     # 2. tile spans in depth order
@@ -125,6 +128,12 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     if payload is not None:
         f = payload.shape[1]
         payload_s = geom_s[:, 5:]                        # [N, F] (pre-packed)
+        # bitcast (not value-cast): offsets exceed f32's exact-int range.
+        # Safe here because the repeat's monotone gather never does float
+        # arithmetic on the rows; do NOT run this path under a GSPMD
+        # partitioner that lowers gathers to select+psum (the shard_map
+        # multichip path calls this per-device, where it stays a plain
+        # gather) — denormal bit patterns would flush to zero.
         comb = jnp.concatenate(
             [jax.lax.bitcast_convert_type(table, jnp.float32), payload_s],
             axis=1)                                      # [N, 5+F]
