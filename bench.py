@@ -119,35 +119,35 @@ def main():
         f = jax.jit(fn)
         return _slope(f, np.float32(0.0), float)
 
+    # full-sum returns: element-sliced outputs let XLA DCE whole
+    # elementwise/gather pipelines and under-measure (CLAUDE.md rule 3)
     def prep_fn(s):
         p = params._replace(xyz=params.xyz + s * 1e-30)
         proj = preprocess(p, cam, active_sh_degree=3, alive=alive)
-        return s + 1 + pack_projected(proj)[0, 0] * 1e-30
-
-    proj0 = jax.jit(lambda p: preprocess(
-        p, cam, active_sh_degree=3, alive=alive))(params)
-    pk0 = jax.jit(pack_projected)(proj0)
+        return s + 1 + jnp.sum(pack_projected(proj)) * 1e-30
 
     def binning_fn(s):
-        pk = pk0 + s * 1e-30
-        bins, cols = bin_gaussians_payload(proj0, pk, WIDTH, HEIGHT, 16, 16,
+        p = params._replace(xyz=params.xyz + s * 1e-30)
+        proj = preprocess(p, cam, active_sh_degree=3, alive=alive)
+        pk = pack_projected(proj)
+        bins, cols = bin_gaussians_payload(proj, pk, WIDTH, HEIGHT, 16, 16,
                                            dup_capacity)
-        return s + 1 + (cols[0][0]
-                        + bins.tile_start[0].astype(jnp.float32)) * 1e-30
+        return s + 1 + (jnp.sum(cols[0])
+                        + jnp.sum(bins.tile_start).astype(jnp.float32)) * 1e-30
 
     def fwd_fn(s):
         p = params._replace(xyz=params.xyz + s * 1e-30)
         out = render(cam, p, bg, **kwargs)
-        return s + 1 + out.image[0, 0, 0] * 1e-30
+        return s + 1 + jnp.sum(out.image) * 1e-30
 
     t_prep = stage(prep_fn)
-    t_bin = stage(binning_fn)
+    t_bin = stage(binning_fn)          # includes prep (composed honestly)
     t_fwd = stage(fwd_fn)
     stages = {
         "preprocess_ms": round(t_prep * 1e3, 1),
-        "binning_ms": round(t_bin * 1e3, 1),
-        "fwd_kernel_ms": round(max(t_fwd - t_prep - t_bin, 0.0) * 1e3, 1),
+        "prep_binning_ms": round(t_bin * 1e3, 1),
         "fwd_total_ms": round(t_fwd * 1e3, 1),
+        "kernel_residual_ms": round(max(t_fwd - t_bin, 0.0) * 1e3, 1),
         "bwd_total_ms": round(max(dt - t_fwd, 0.0) * 1e3, 1),
         "step_ms": round(dt * 1e3, 1),
     }

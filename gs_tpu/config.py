@@ -77,6 +77,9 @@ class RasterConfig:
     max_per_tile: int = 4096
     chunk: int = 128
     tile_block: int = 0              # 0 = all tiles at once
+    bf16_features: bool = False      # stream rgb+invdepth as bf16 through
+    # the expansion/sort (pallas backend; ~0.4% color quantization, grads
+    # straight-through — see tests/test_pallas.py bf16 parity tests)
 
 
 def asdict(cfg) -> dict:

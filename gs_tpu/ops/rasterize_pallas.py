@@ -502,11 +502,43 @@ def _bin_with_payload(packets, proj_sg, dims, row_phase):
     return out
 
 
+def _pack_bf16_pair(a, b):
+    """Two f32 columns -> one f32-typed column carrying the bf16 pair.
+
+    Pure bit transport (expansion gather + sort never do arithmetic on
+    payload columns); same GSPMD caveat as the int-table bitcast."""
+    pair = jnp.stack([a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)],
+                     axis=-1)                              # [N, 2] bf16
+    return jax.lax.bitcast_convert_type(pair, jnp.float32)  # [N]
+
+
+def _unpack_bf16_pair(x):
+    pair = jax.lax.bitcast_convert_type(x, jnp.bfloat16)    # [D, 2]
+    return pair[..., 0].astype(jnp.float32), pair[..., 1].astype(jnp.float32)
+
+
 def _bin_with_payload_fwd(packets, proj_sg, dims, row_phase):
-    width, height, tile_x, tile_y, dup_capacity, row_stride = dims
+    width, height, tile_x, tile_y, dup_capacity, row_stride, bf16 = dims
+    if bf16:
+        # stream rgb+invdepth as bf16 pairs: 10 -> 8 payload columns through
+        # the expansion and the sort (the HBM-heavy stages). Geometry
+        # (means, conic, opacity) stays f32 — it feeds the positional
+        # gradient chain. Backward treats the quantization as identity
+        # (straight-through); see tests/test_pallas.py::test_pallas_bf16_*
+        # for the measured parity envelope.
+        pk = jnp.concatenate(
+            [packets[:, :6],
+             _pack_bf16_pair(packets[:, 6], packets[:, 7])[:, None],
+             _pack_bf16_pair(packets[:, 8], packets[:, 9])[:, None]], axis=1)
+    else:
+        pk = packets
     bins, sorted_cols = bin_gaussians_payload(
-        proj_sg, packets, width, height, tile_x, tile_y, dup_capacity,
+        proj_sg, pk, width, height, tile_x, tile_y, dup_capacity,
         row_phase=row_phase[0], row_stride=row_stride)
+    if bf16:
+        r, g = _unpack_bf16_pair(sorted_cols[6])
+        b, invd = _unpack_bf16_pair(sorted_cols[7])
+        sorted_cols = sorted_cols[:6] + (r, g, b, invd)
     n = packets.shape[0]
     # invalid (padding) entries carry junk gids from the repeat fill — send
     # them to the sentinel so they sort past every real run in the backward
@@ -538,7 +570,8 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
                      bg: jnp.ndarray, *, tile_x: int = 16, tile_y: int = 16,
                      max_per_tile: int = 4096, dup_capacity: int = 1 << 20,
                      interpret: bool = False,
-                     row_phase=None, row_stride: int = 1):
+                     row_phase=None, row_stride: int = 1,
+                     bf16_features: bool = False):
     """Render via the Pallas tile kernel; differentiable w.r.t. ``proj``
     through the packet features.
 
@@ -564,7 +597,7 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
     bins, cols = _bin_with_payload(
         packets, jax.tree.map(jax.lax.stop_gradient, proj),
         (width, height, tile_x, tile_y, dup_capacity,
-         row_stride), row_phase)                         # 10 x [D]
+         row_stride, bool(bf16_features)), row_phase)    # 10 x [D]
     # stack along axis 0: each sorted column becomes one contiguous feature
     # row — no [D, 10] <-> [10, D] relayout anywhere on the hot path
     feats = jnp.concatenate(

@@ -63,7 +63,8 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
            dup_capacity: int = 1 << 18,
            max_per_tile: int = 1024,
            chunk: int = 64,
-           tile_block: int = 0) -> RenderOutput:
+           tile_block: int = 0,
+           bf16_features: bool = False) -> RenderOutput:
     """Render one view. Differentiable w.r.t. ``params`` (and bg).
 
     ``convert_SHs_python`` / ``compute_cov3D_python`` recompute SH shading /
@@ -97,14 +98,16 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
     return render_projected(proj, camera.width, camera.height, bg,
                             backend=backend, dup_capacity=dup_capacity,
                             max_per_tile=max_per_tile, chunk=chunk,
-                            tile_block=tile_block)
+                            tile_block=tile_block,
+                            bf16_features=bf16_features)
 
 
 def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
                      *, backend: str = "binned", dup_capacity: int = 1 << 18,
                      max_per_tile: int = 1024, chunk: int = 64,
                      tile_block: int = 0, row_phase=0,
-                     row_stride: int = 1) -> RenderOutput:
+                     row_stride: int = 1,
+                     bf16_features: bool = False) -> RenderOutput:
     """``row_phase`` (traced ok) / ``row_stride`` (static): render only the
     global tile rows phase + j*stride into the local height — the
     interleaved multi-chip band assignment (parallel/render_mc.py)."""
@@ -131,7 +134,8 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
             proj, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y,
             max_per_tile=max_per_tile, dup_capacity=dup_capacity,
             interpret=(backend == "pallas_interpret"),
-            row_phase=row_phase, row_stride=row_stride)
+            row_phase=row_phase, row_stride=row_stride,
+            bf16_features=bf16_features)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return RenderOutput(image=image, invdepth=invd, final_T=finalT,

@@ -94,7 +94,9 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    dup_capacity=raster.dup_capacity,
                                    max_per_tile=raster.max_per_tile,
                                    chunk=raster.chunk,
-                                   tile_block=raster.tile_block)
+                                   tile_block=raster.tile_block,
+                                   bf16_features=getattr(
+                                       raster, "bf16_features", False))
         image = out.image
         if use_exposure:
             image = apply_exposure(image, exposure_row)

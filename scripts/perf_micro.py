@@ -229,7 +229,7 @@ def main():
                 pk = pack_projected(proj)
                 bins, colz = _bin_with_payload(
                     pk, jax.tree.map(jax.lax.stop_gradient, proj),
-                    (1920, 1080, 16, 16, D, 1),
+                    (1920, 1080, 16, 16, D, 1, False),
                     jnp.zeros((1,), jnp.int32))
                 return jnp.stack(colz, axis=0)
             if on("featsfwd") or on("pipeline"):
@@ -254,7 +254,7 @@ def main():
             def f(s, pk, pj):
                 def loss(q):
                     _, colz = _bin_with_payload(
-                        q, pj, (1920, 1080, 16, 16, D, 1),
+                        q, pj, (1920, 1080, 16, 16, D, 1, False),
                         jnp.zeros((1,), jnp.int32))
                     return jnp.sum(jnp.stack(colz, axis=0) ** 2) * 1e-12
                 g = jax.grad(loss)(pk + s * 1e-30)

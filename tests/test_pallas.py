@@ -101,3 +101,47 @@ def test_pallas_alive_mask(scene):
                                        alive=alive))(params)
     np.testing.assert_allclose(np.asarray(out_pl.image),
                                np.asarray(out_jnp.image), atol=2e-5)
+
+
+def test_pallas_bf16_features_parity(rng):
+    """bf16 rgb/invdepth streaming: parity envelope vs the f32 pipeline.
+
+    Quantization is bf16 (8 mantissa bits, ~0.4% rel) on the color/invdepth
+    payload only; geometry stays f32 and the backward treats the cast as
+    identity (straight-through). Documented tolerances: image/invdepth
+    within 1% absolute, positional grads (xyz/scale/quat/opacity) within
+    5% of the f32 run's max-magnitude (isolated small-gradient entries feel
+    the color quantization hardest), color grads (sh) within 2%."""
+    import jax
+    import jax.numpy as jnp
+    from gs_tpu.render import render
+    from utils import default_camera, random_params
+
+    params = random_params(rng, 300)
+    cam = default_camera(96, 64)
+    bg = jnp.asarray([0.2, 0.3, 0.4])
+    kw = dict(active_sh_degree=3, backend="pallas_interpret",
+              dup_capacity=1 << 12, max_per_tile=512)
+
+    def loss(p, bf16):
+        o = render(cam, p, bg, bf16_features=bf16, **kw)
+        return (jnp.mean(jnp.abs(o.image - 0.5))
+                + 0.1 * jnp.mean(o.invdepth)), o
+
+    (l32, o32), g32 = jax.value_and_grad(
+        lambda p: loss(p, False), has_aux=True)(params)
+    (l16, o16), g16 = jax.value_and_grad(
+        lambda p: loss(p, True), has_aux=True)(params)
+
+    np.testing.assert_allclose(np.asarray(o16.image), np.asarray(o32.image),
+                               atol=1e-2)
+    np.testing.assert_allclose(np.asarray(o16.invdepth),
+                               np.asarray(o32.invdepth), atol=1e-2)
+    assert abs(float(l16) - float(l32)) < 5e-3
+    for name in g32._fields:
+        a = np.asarray(getattr(g32, name))
+        b = np.asarray(getattr(g16, name))
+        s = max(np.abs(a).max(), 1e-6)
+        tol = 2e-2 * s if name.startswith("sh") else 5e-2 * s
+        np.testing.assert_allclose(b, a, atol=tol,
+                                   err_msg=f"bf16 grad drift: {name}")
