@@ -128,18 +128,15 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     if payload is not None:
         f = payload.shape[1]
         payload_s = geom_s[:, 5:]                        # [N, F] (pre-packed)
-        # bitcast (not value-cast): offsets exceed f32's exact-int range.
-        # Safe here because the repeat's monotone gather never does float
-        # arithmetic on the rows; do NOT run this path under a GSPMD
-        # partitioner that lowers gathers to select+psum (the shard_map
-        # multichip path calls this per-device, where it stays a plain
-        # gather) — denormal bit patterns would flush to zero.
+        # int columns ride as f32 VALUES — exact below 2^24 (offsets <
+        # capacity, ids < N) and immune to the denormal-flush hazard that
+        # bitcast patterns have under GSPMD-partitioned gathers
+        assert capacity < (1 << 24), "f32 exact-int range"
         comb = jnp.concatenate(
-            [jax.lax.bitcast_convert_type(table, jnp.float32), payload_s],
-            axis=1)                                      # [N, 5+F]
+            [table.astype(jnp.float32), payload_s], axis=1)  # [N, 5+F]
         comb_rows = jnp.repeat(comb, counts, axis=0,
                                total_repeat_length=capacity)  # [D, 5+F]
-        rows = jax.lax.bitcast_convert_type(comb_rows[:, :5], jnp.int32)
+        rows = comb_rows[:, :5].astype(jnp.int32)
         exp = comb_rows[:, 5:]                           # [D, F]
     else:
         rows = jnp.repeat(table, counts, axis=0,
