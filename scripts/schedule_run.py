@@ -99,7 +99,15 @@ def main():
         dup_capacity=1 << 18, max_per_tile=2048).image, 0, 1))
     loaded = []
     for i, c in enumerate(cams):
+        # the axon tunnel can serve unready fetches as zeros — validate and
+        # re-fetch (a black training set silently trains to transparency)
         img = np.asarray(gt_render(c))
+        for _ in range(5):
+            if img.max() > 1e-6:
+                break
+            time.sleep(1.0)
+            img = np.asarray(gt_render(c))
+        assert img.max() > 1e-6, f"view {i} fetched black from device"
         info = CameraInfo(uid=i, R=np.eye(3), T=np.zeros(3), fovx=1.0,
                           fovy=0.8, image_path="", image_name=f"v{i:03d}",
                           width=W, height=H)
@@ -107,6 +115,9 @@ def main():
                                    alpha_mask=np.ones((1, H, W), np.float32),
                                    invdepth=None, depth_mask=None,
                                    depth_reliable=False))
+    gt_mean = float(np.mean([c.image.mean() for c in loaded]))
+    print(f"gt views: mean intensity {gt_mean:.3f}", flush=True)
+    assert gt_mean > 0.01, "ground-truth views are black"
     train_cams = [c for i, c in enumerate(loaded) if i % 8 != 0]
     test_cams = [c for i, c in enumerate(loaded) if i % 8 == 0]
 
@@ -149,7 +160,10 @@ def main():
 
     wall = time.perf_counter() - t0
     by_iter = {t["iter"]: t for t in trajectory}
-    resets = [r for r in range(reset_interval, args.iters, reset_interval)]
+    # the reference resets opacity only INSIDE the densify window
+    # (train.py:157-167); intervals beyond densify_until never fire
+    resets = [r for r in range(reset_interval, opt.densify_until_iter,
+                               reset_interval)]
     recovery = []
     for r in resets:
         pre = by_iter.get(r - 50, {}).get("test_psnr")
