@@ -112,7 +112,9 @@ def main():
         return jax.tree.map(lambda a, b: a - 1e-12 * b, p, g)
 
     fetch_p = lambda p: float(jnp.asarray(p.xyz).ravel()[0])
-    dt = _slope(step, params, fetch_p, k1=2, k2=8)
+    # tunnel noise is strictly additive (±30% run-to-run band): the minimum
+    # of repeated slope measurements is the closest to true device time
+    dt = min(_slope(step, params, fetch_p, k1=2, k2=8) for _ in range(3))
 
     # ---- per-stage probes (slope-timed, chained through a carried scalar) -
     def stage(fn):

@@ -174,7 +174,8 @@ def main():
     # ---- full pipeline stages on the real bench scene ----------------------
     pipeline_stages = {"pipeline", "binning", "prep", "prepbwd", "fwd",
                        "step", "kfwd", "kbwd", "featsfwd", "featsbwd",
-                       "untile", "manualbwd", "binbwd", "segreal2", "seg2f", "prepvjp2"}
+                       "untile", "manualbwd", "binbwd", "segreal2", "seg2f", "prepvjp2",
+                       "stepbf16"}
     if which & pipeline_stages or "all" in which:
         import bench as B
         from gs_tpu.core.camera import make_camera, focal2fov
@@ -386,14 +387,16 @@ def main():
                 return s + 1 + out.image[0, 0, 0] * 1e-30
             slope("render_fwd", f, params)
 
-        if on("step") or on("pipeline"):
+        if on("step") or on("stepbf16") or on("pipeline"):
+            use_bf16 = on("stepbf16")
             def loss_fn(p):
-                out = render(cam, p, bg, **kwargs)
+                out = render(cam, p, bg, bf16_features=use_bf16, **kwargs)
                 return jnp.mean(jnp.abs(out.image - gt))
             def f(s, p):
                 g = jax.grad(loss_fn)(p._replace(xyz=p.xyz + s * 1e-30))
                 return s + 1 + (jnp.sum(g.xyz) + jnp.sum(g.quat)) * 1e-30
-            slope("render_fwd_bwd", f, params)
+            slope("render_fwd_bwd_bf16" if use_bf16 else "render_fwd_bwd",
+                  f, params)
 
 
 if __name__ == "__main__":
