@@ -49,7 +49,8 @@ from .rasterize_jnp import pack_projected
 from .segment import segment_sum_runend
 
 CS = 128          # entries per chunk (= lane width)
-NFEAT = 16
+NFEAT = 16   # 10 packet features + 6 pad rows: Mosaic requires HBM slice
+# dim-0 aligned to the (8,128) tiling, so 10 rows is not DMA-able
 
 
 def _tri_matrices(cs: int):
