@@ -15,6 +15,7 @@ previous output and fetching a scalar forces real execution.
 """
 import json
 import math
+import os
 import time
 
 import numpy as np
@@ -97,24 +98,38 @@ def main():
             ml = 2048
     dup_capacity = max(((int(nd * 1.15) + 127) // 128) * 128, 1 << 20)
     max_per_tile = max(((int(ml * 1.3) + 127) // 128) * 128, 1024)
+    if os.environ.get("GS_BENCH_CAP"):
+        dup_capacity = int(os.environ["GS_BENCH_CAP"])
+    if os.environ.get("GS_BENCH_MPT"):
+        max_per_tile = int(os.environ["GS_BENCH_MPT"])
     kwargs = dict(active_sh_degree=3, backend="pallas", alive=alive,
                   dup_capacity=dup_capacity, max_per_tile=max_per_tile,
                   chunk=64)
 
     # ---- headline: full fwd+bwd step --------------------------------------
+    # SCAN_STEPS iterations run inside ONE dispatch (exactly how on-TPU
+    # training runs: --block_scan batches schedule-aligned step blocks into
+    # one lax.scan). Dispatching single steps through the axon tunnel adds
+    # ~100 ms of per-dispatch latency that production never pays.
+    SCAN_STEPS = 4
+
     def loss_fn(p):
         out = render(cam, p, bg, **kwargs)
         return jnp.mean(jnp.abs(out.image - gt))
 
     @jax.jit
-    def step(p):
-        g = jax.grad(loss_fn)(p)
-        return jax.tree.map(lambda a, b: a - 1e-12 * b, p, g)
+    def step_block(p):
+        def body(pp, _):
+            g = jax.grad(loss_fn)(pp)
+            return jax.tree.map(lambda a, b: a - 1e-12 * b, pp, g), 0.0
+        p2, _ = jax.lax.scan(body, p, None, length=SCAN_STEPS)
+        return p2
 
-    fetch_p = lambda p: float(jnp.asarray(p.xyz).ravel()[0])
+    fetch_p = lambda p: float(p.xyz[0, 0])
     # tunnel noise is strictly additive (±30% run-to-run band): the minimum
     # of repeated slope measurements is the closest to true device time
-    dt = min(_slope(step, params, fetch_p, k1=2, k2=8) for _ in range(3))
+    dt = min(_slope(step_block, params, fetch_p, k1=2, k2=6)
+             for _ in range(3)) / SCAN_STEPS
 
     # ---- per-stage probes (slope-timed, chained through a carried scalar) -
     def stage(fn):

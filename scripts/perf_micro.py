@@ -175,7 +175,7 @@ def main():
     pipeline_stages = {"pipeline", "binning", "prep", "prepbwd", "fwd",
                        "step", "kfwd", "kbwd", "featsfwd", "featsbwd",
                        "untile", "manualbwd", "binbwd", "segreal2", "seg2f", "prepvjp2",
-                       "stepbf16"}
+                       "stepbf16", "stepupd", "gradall", "updonly"}
     if which & pipeline_stages or "all" in which:
         import bench as B
         from gs_tpu.core.camera import make_camera, focal2fov
@@ -386,6 +386,49 @@ def main():
                 out = render(cam, p, bg, **kwargs)
                 return s + 1 + out.image[0, 0, 0] * 1e-30
             slope("render_fwd", f, params)
+
+        if on("updonly"):
+            # bare parameter update: layout probe for the [C,K,3] pytree
+            def f(s, p):
+                q = jax.tree.map(lambda a: a * (1.0 - s * 1e-30), p)
+                tot = sum(x[0].sum() for x in q)
+                return s + 1 + tot * 1e-30
+            slope("param_update_only", f, params)
+
+        if on("gradall"):
+            # gradient of ALL parameters (summed, no update): isolates the
+            # parameter-gradient tail the xyz/quat-only probe DCE'd away
+            def loss_fn3(p):
+                out = render(cam, p, bg, **kwargs)
+                return jnp.mean(jnp.abs(out.image - gt))
+            def f(s, p):
+                g = jax.grad(loss_fn3)(p._replace(xyz=p.xyz + s * 1e-30))
+                tot = sum(jnp.sum(x) for x in g)
+                return s + 1 + tot * 1e-30
+            slope("grad_all_params", f, params)
+
+        if on("stepupd"):
+            # bench-exact step: chained params + tree update (bisects the
+            # micro-vs-bench harness discrepancy)
+            def loss_fn2(p):
+                out = render(cam, p, bg, **kwargs)
+                return jnp.mean(jnp.abs(out.image - gt))
+            @jax.jit
+            def stepu(p):
+                g = jax.grad(loss_fn2)(p)
+                return jax.tree.map(lambda a, b: a - 1e-12 * b, p, g)
+            import time as _t
+            stepu(params).xyz.block_until_ready()
+            def run(k):
+                pp = params
+                for _ in range(k):
+                    pp = stepu(pp)
+                return float(pp.xyz[0, 0])
+            run(2)
+            t0=_t.perf_counter(); run(2); t1=_t.perf_counter()-t0
+            t0=_t.perf_counter(); run(8); t2=_t.perf_counter()-t0
+            print(json.dumps({"stage":"step_update_chained",
+                              "ms": round((t2-t1)/6*1e3,2)}), flush=True)
 
         if on("step") or on("stepbf16") or on("pipeline"):
             use_bf16 = on("stepbf16")
