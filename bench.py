@@ -1,12 +1,32 @@
 """Benchmark: fwd+bwd rasterization throughput at 1080p on one chip.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}
-where detail carries the per-stage breakdown and an MFU estimate.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline",
+"detail"} IMMEDIATELY after the first measurement (round-2 lesson: the
+driver's wall-clock budget is unknown and the axon tunnel adds 1-4 min of
+one-time warmup — everything optional runs after the headline is out).
 
-Baseline derivation (BASELINE.md): the reference's accelerated CUDA rasterizer
-trains an average scene (~1.1 Mpx images) in 27 min / 30k iterations on an
-A6000 => ~18.5 it/s * 1.3 Mpx ~= 2.4e7 pixels/s forward+backward. vs_baseline
-is our measured pixels/s divided by that.
+Scenes:
+  uniform    — 500k gaussians tiling a box, ~10-40 splats/pixel (trained-
+               scene average density). This is the headline.
+  heavy_tail — same far field plus a dense near-camera cluster pushing
+               max_tile_len into the thousands (sky/ground tiles of real
+               trained scenes); exercises max_chunks loop bounds and early
+               termination. Reported in the final combined line's detail.
+
+Cost control:
+  * the JAX persistent compilation cache is enabled at .jax_cache/ — a
+    warm cache turns every jit here into a <1 s load (verified on axon);
+  * no separate probe pass: buffer capacities are fixed known-good values
+    (env-overridable), validated by overflow stats carried out of the
+    measured step itself;
+  * per-stage probes only with GS_BENCH_STAGES=1, extra slope repeats with
+    GS_BENCH_REPEATS=n, heavy-tail scene skipped when the elapsed time
+    exceeds half of GS_BENCH_BUDGET_S (default 600 s).
+
+Baseline derivation (BASELINE.md): the reference's accelerated CUDA
+rasterizer trains an average scene (~1.1 Mpx images) in 27 min / 30k
+iterations on an A6000 => ~18.5 it/s * 1.3 Mpx ~= 2.4e7 pixels/s
+forward+backward. vs_baseline is our measured pixels/s divided by that.
 
 Timing is slope-based with a host fetch per run: on the axon TPU tunnel,
 ``block_until_ready`` does not actually synchronize, and repeated identical
@@ -18,6 +38,9 @@ import math
 import os
 import time
 
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("GS_BENCH_BUDGET_S", "600"))
+
 import numpy as np
 
 BASELINE_PIXELS_PER_S = 2.4e7
@@ -25,20 +48,48 @@ WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 500_000
 CS = 128            # kernel chunk size (ops/rasterize_pallas.CS)
 PEAK_BF16_FLOPS = 197e12   # v5e MXU peak; MFU is reported on this basis
+SCAN_STEPS = 4      # steps per dispatch (production --block_scan shape)
+
+# known-good static buffer sizes for the two scenes (measured; the step
+# itself reports overflow so a regression cannot silently truncate)
+CAPS = {
+    "uniform": (1 << 22, 1024),
+    "heavy_tail": (1 << 22, 4096),
+}
 
 
-def build_scene():
+def _enable_compile_cache():
+    import jax
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def build_scene(kind: str = "uniform"):
     import jax.numpy as jnp
     from gs_tpu.models.gaussian_model import create_from_pcd
 
     rng = np.random.default_rng(0)
     # box of small gaussians in front of the camera — tuned to realistic
     # trained-scene stats (~10-40 splats blended per pixel at 1080p)
-    pts = np.concatenate([
-        rng.uniform(-3.5, 3.5, (N_GAUSS, 1)),
-        rng.uniform(-2.0, 2.0, (N_GAUSS, 1)),
-        rng.uniform(2.5, 9.0, (N_GAUSS, 1)),
-    ], axis=1)
+    n_far = N_GAUSS if kind == "uniform" else int(N_GAUSS * 0.9)
+    pts = [np.concatenate([
+        rng.uniform(-3.5, 3.5, (n_far, 1)),
+        rng.uniform(-2.0, 2.0, (n_far, 1)),
+        rng.uniform(2.5, 9.0, (n_far, 1)),
+    ], axis=1)]
+    if kind == "heavy_tail":
+        # dense cluster near the camera: a few tiles see thousands of entries
+        n_c = N_GAUSS - n_far
+        pts.append(np.concatenate([
+            rng.uniform(-0.25, 0.25, (n_c, 1)),
+            rng.uniform(-0.25, 0.25, (n_c, 1)),
+            rng.uniform(2.0, 2.6, (n_c, 1)),
+        ], axis=1))
+    pts = np.concatenate(pts, axis=0)
     cols = rng.uniform(0, 1, (N_GAUSS, 3))
     params, alive = create_from_pcd(pts, cols, sh_degree=3,
                                     capacity=1 << 19)
@@ -49,55 +100,25 @@ def build_scene():
     return params, alive
 
 
-def _slope(f, x0, fetch, k1=1, k2=5):
-    """Chained slope timing; f: x -> x, fetch: x -> host scalar."""
-    fetch(f(x0))  # compile + run once
-    def run(k):
-        x = x0
-        for _ in range(k):
-            x = f(x)
-        return fetch(x)
-    t0 = time.perf_counter(); run(k1); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); run(k2); t2 = time.perf_counter() - t0
-    return (t2 - t1) / (k2 - k1)
+def measure_scene(kind: str, repeats: int) -> dict:
+    """Compile one production-shaped step block and slope-time it.
 
-
-def main():
+    Returns {"dt": sec/step, "nd": duplicates, "ml": max_tile_len,
+    "overflow": bool, caps...}. Exactly ONE jit compile per scene.
+    """
     import jax
     import jax.numpy as jnp
     from gs_tpu.core.camera import make_camera, focal2fov
-    from gs_tpu.core.project import preprocess
-    from gs_tpu.ops.binning import bin_gaussians_payload
-    from gs_tpu.ops.rasterize_jnp import pack_projected
     from gs_tpu.render import render
 
-    params, alive = build_scene()
+    params, alive = build_scene(kind)
     fovx = math.radians(70.0)
     fovy = focal2fov(WIDTH / (2 * math.tan(fovx / 2)), HEIGHT)
     cam = make_camera(np.eye(3), np.zeros(3), fovx, fovy, WIDTH, HEIGHT)
     bg = jnp.zeros(3)
     gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
 
-    # ---- probe pass: actual duplicate count sizes the static buffers ------
-    probe_kwargs = dict(active_sh_degree=3, backend="pallas", alive=alive,
-                        dup_capacity=1 << 22, max_per_tile=8192, chunk=64)
-    chk = jax.jit(lambda p: render(cam, p, bg, **probe_kwargs))(params)
-    ov = bool(chk.overflow)
-    nd = int(chk.num_duplicates)
-    ml = int(chk.max_tile_len)
-    if ov:
-        print(json.dumps({"metric": "pixels_per_s_fwd_bwd_1080p", "value": 0,
-                          "unit": "pixels/s", "vs_baseline": 0,
-                          "error": f"binning overflow dups={nd} maxtile={ml}"}))
-        return
-    if ml == 0 and nd > 0:
-        # scalar stat occasionally reads back 0 through the axon tunnel;
-        # re-fetch, then fall back to a safe bound rather than truncating
-        ml = int(np.asarray(chk.max_tile_len))
-        if ml == 0:
-            ml = 2048
-    dup_capacity = max(((int(nd * 1.15) + 127) // 128) * 128, 1 << 20)
-    max_per_tile = max(((int(ml * 1.3) + 127) // 128) * 128, 1024)
+    dup_capacity, max_per_tile = CAPS[kind]
     if os.environ.get("GS_BENCH_CAP"):
         dup_capacity = int(os.environ["GS_BENCH_CAP"])
     if os.environ.get("GS_BENCH_MPT"):
@@ -106,35 +127,100 @@ def main():
                   dup_capacity=dup_capacity, max_per_tile=max_per_tile,
                   chunk=64)
 
-    # ---- headline: full fwd+bwd step --------------------------------------
-    # SCAN_STEPS iterations run inside ONE dispatch (exactly how on-TPU
-    # training runs: --block_scan batches schedule-aligned step blocks into
-    # one lax.scan). Dispatching single steps through the axon tunnel adds
-    # ~100 ms of per-dispatch latency that production never pays.
-    SCAN_STEPS = 4
-
     def loss_fn(p):
         out = render(cam, p, bg, **kwargs)
-        return jnp.mean(jnp.abs(out.image - gt))
+        loss = jnp.mean(jnp.abs(out.image - gt))
+        return loss, (out.num_duplicates, out.max_tile_len, out.overflow)
 
     @jax.jit
     def step_block(p):
         def body(pp, _):
-            g = jax.grad(loss_fn)(pp)
-            return jax.tree.map(lambda a, b: a - 1e-12 * b, pp, g), 0.0
-        p2, _ = jax.lax.scan(body, p, None, length=SCAN_STEPS)
-        return p2
+            g, aux = jax.grad(loss_fn, has_aux=True)(pp)
+            return jax.tree.map(lambda a, b: a - 1e-12 * b, pp, g), aux
+        p2, auxs = jax.lax.scan(body, p, None, length=SCAN_STEPS)
+        return p2, jax.tree.map(jnp.max, auxs)
 
-    fetch_p = lambda p: float(p.xyz[0, 0])
-    # tunnel noise is strictly additive (±30% run-to-run band): the minimum
-    # of repeated slope measurements is the closest to true device time
-    dt = min(_slope(step_block, params, fetch_p, k1=2, k2=6)
-             for _ in range(3)) / SCAN_STEPS
+    # warmup run absorbs compile (cache-served when warm) + tunnel first-fetch
+    p1, stats = step_block(params)
+    nd = int(stats[0])
+    ml = int(stats[1])
+    overflow = bool(stats[2])
 
-    # ---- per-stage probes (slope-timed, chained through a carried scalar) -
-    def stage(fn):
-        f = jax.jit(fn)
-        return _slope(f, np.float32(0.0), float)
+    def run(k):
+        x = params
+        for _ in range(k):
+            x, _ = step_block(x)
+        return float(x.xyz[0, 0])
+
+    def one_slope():
+        t0 = time.perf_counter(); run(1); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); run(3); t2 = time.perf_counter() - t0
+        return (t2 - t1) / 2
+    # tunnel noise is strictly additive: min of repeats is closest to truth
+    dt = min(one_slope() for _ in range(max(repeats, 1))) / SCAN_STEPS
+    return dict(dt=dt, nd=nd, ml=ml, overflow=overflow,
+                dup_capacity=dup_capacity, max_per_tile=max_per_tile)
+
+
+def headline_dict(m: dict, device: str) -> dict:
+    dt = m["dt"]
+    pixels_per_s = WIDTH * HEIGHT / dt
+
+    # MFU model (MXU flops of the compositing math): fwd per chunk one
+    # triangular-cumsum matmul [CS,CS]x[CS,PIX] + feature contraction
+    # [4,CS]x[CS,PIX]; bwd 2 triangular matmuls + cdot + moment contraction.
+    pix = 256
+    num_tiles = (WIDTH // 16) * math.ceil(HEIGHT / 16)
+    chunks = m["nd"] / CS + num_tiles        # partial chunk per tile
+    fwd_flops = chunks * (2 * CS * CS * pix + 2 * 4 * CS * pix)
+    bwd_flops = chunks * (2 * 2 * CS * CS * pix + 2 * 3 * CS * pix
+                          + 2 * 4 * CS * pix)
+    mfu = (fwd_flops + bwd_flops) / (dt * PEAK_BF16_FLOPS)
+    return {
+        "metric": "pixels_per_s_fwd_bwd_1080p",
+        "value": round(pixels_per_s, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 4),
+        "detail": {"sec_per_fwd_bwd": round(dt, 4), "n_gaussians": N_GAUSS,
+                   "duplicates": m["nd"], "max_tile_len": m["ml"],
+                   "dup_capacity": m["dup_capacity"],
+                   "max_per_tile": m["max_per_tile"],
+                   "mfu_bf16_basis": round(mfu, 4),
+                   "kernel_gflops_per_step": round(
+                       (fwd_flops + bwd_flops) / 1e9, 1),
+                   "device": device},
+    }
+
+
+def stage_probes(params, alive, dup_capacity, max_per_tile, dt) -> dict:
+    """Per-stage slope probes (3 extra compiles) — GS_BENCH_STAGES=1 only."""
+    import jax
+    import jax.numpy as jnp
+    from gs_tpu.core.camera import make_camera, focal2fov
+    from gs_tpu.core.project import preprocess
+    from gs_tpu.ops.binning import bin_gaussians_payload
+    from gs_tpu.ops.rasterize_jnp import pack_projected
+    from gs_tpu.render import render
+
+    fovx = math.radians(70.0)
+    fovy = focal2fov(WIDTH / (2 * math.tan(fovx / 2)), HEIGHT)
+    cam = make_camera(np.eye(3), np.zeros(3), fovx, fovy, WIDTH, HEIGHT)
+    bg = jnp.zeros(3)
+    kwargs = dict(active_sh_degree=3, backend="pallas", alive=alive,
+                  dup_capacity=dup_capacity, max_per_tile=max_per_tile,
+                  chunk=64)
+
+    def _slope(f):
+        jf = jax.jit(f)
+        float(jf(np.float32(0.0)))
+        def run(k):
+            x = np.float32(0.0)
+            for _ in range(k):
+                x = jf(x)
+            return float(x)
+        t0 = time.perf_counter(); run(1); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); run(3); t2 = time.perf_counter() - t0
+        return (t2 - t1) / 2
 
     # full-sum returns: element-sliced outputs let XLA DCE whole
     # elementwise/gather pipelines and under-measure (CLAUDE.md rule 3)
@@ -157,10 +243,10 @@ def main():
         out = render(cam, p, bg, **kwargs)
         return s + 1 + jnp.sum(out.image) * 1e-30
 
-    t_prep = stage(prep_fn)
-    t_bin = stage(binning_fn)          # includes prep (composed honestly)
-    t_fwd = stage(fwd_fn)
-    stages = {
+    t_prep = _slope(prep_fn)
+    t_bin = _slope(binning_fn)          # includes prep (composed honestly)
+    t_fwd = _slope(fwd_fn)
+    return {
         "preprocess_ms": round(t_prep * 1e3, 1),
         "prep_binning_ms": round(t_bin * 1e3, 1),
         "fwd_total_ms": round(t_fwd * 1e3, 1),
@@ -169,33 +255,53 @@ def main():
         "step_ms": round(dt * 1e3, 1),
     }
 
-    # ---- MFU model (MXU flops of the compositing math) --------------------
-    # fwd per chunk: triangular-cumsum matmul [CS,CS]x[CS,PIX] + feature
-    # contraction [4,CS]x[CS,PIX]; bwd: 2 triangular matmuls + cdot [CS,3]x
-    # [3,PIX] + d_rgb/d_invd [CS,PIX]x[PIX,4]. PIX=256.
-    pix = 256
-    num_tiles = (WIDTH // 16) * math.ceil(HEIGHT / 16)
-    chunks = nd / CS + num_tiles        # partial chunk per tile
-    fwd_flops = chunks * (2 * CS * CS * pix + 2 * 4 * CS * pix)
-    bwd_flops = chunks * (2 * 2 * CS * CS * pix + 2 * 3 * CS * pix
-                          + 2 * 4 * CS * pix)
-    mfu = (fwd_flops + bwd_flops) / (dt * PEAK_BF16_FLOPS)
 
-    pixels_per_s = WIDTH * HEIGHT / dt
-    print(json.dumps({
-        "metric": "pixels_per_s_fwd_bwd_1080p",
-        "value": round(pixels_per_s, 1),
-        "unit": "pixels/s",
-        "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 4),
-        "detail": {"sec_per_fwd_bwd": round(dt, 4), "n_gaussians": N_GAUSS,
-                   "duplicates": nd, "max_tile_len": ml,
-                   "dup_capacity": dup_capacity, "max_per_tile": max_per_tile,
-                   "stages": stages,
-                   "mfu_bf16_basis": round(mfu, 4),
-                   "kernel_gflops_per_step": round(
-                       (fwd_flops + bwd_flops) / 1e9, 1),
-                   "device": str(jax.devices()[0]).replace(" ", "_")},
-    }))
+def main():
+    _enable_compile_cache()
+    import jax
+
+    repeats = int(os.environ.get("GS_BENCH_REPEATS", "1"))
+    device = str(jax.devices()[0]).replace(" ", "_")
+
+    # ---- headline first, everything else after --------------------------
+    m = measure_scene("uniform", repeats)
+    if m["overflow"]:
+        print(json.dumps({"metric": "pixels_per_s_fwd_bwd_1080p", "value": 0,
+                          "unit": "pixels/s", "vs_baseline": 0,
+                          "error": f"binning overflow dups={m['nd']} "
+                                   f"maxtile={m['ml']}"}), flush=True)
+        return
+    head = headline_dict(m, device)
+    print(json.dumps(head), flush=True)
+
+    extra = {}
+    if os.environ.get("GS_BENCH_STAGES"):
+        params, alive = build_scene("uniform")
+        extra["stages"] = stage_probes(params, alive, m["dup_capacity"],
+                                       m["max_per_tile"], m["dt"])
+
+    # ---- heavy-tail scene (budget permitting) ----------------------------
+    if (time.perf_counter() - T_START < 0.5 * BUDGET_S
+            and not os.environ.get("GS_BENCH_NO_HEAVY")):
+        try:
+            mh = measure_scene("heavy_tail", repeats)
+            px = WIDTH * HEIGHT / mh["dt"]
+            extra["heavy_tail"] = {
+                "pixels_per_s": round(px, 1),
+                "vs_baseline": round(px / BASELINE_PIXELS_PER_S, 4),
+                "sec_per_fwd_bwd": round(mh["dt"], 4),
+                "duplicates": mh["nd"], "max_tile_len": mh["ml"],
+                "overflow": mh["overflow"],
+                "max_per_tile": mh["max_per_tile"],
+            }
+        except Exception as e:  # never lose the headline to the extra scene
+            extra["heavy_tail"] = {"error": repr(e)}
+
+    if extra:
+        # final line repeats the headline metric/value so a last-line parser
+        # and a first-line parser read the same number
+        head["detail"].update(extra)
+        print(json.dumps(head), flush=True)
 
 
 if __name__ == "__main__":

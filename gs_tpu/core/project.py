@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from .camera import Camera
 from .gaussians import (GaussianParams, covariance_3d, get_opacity,
                         get_scaling, unpack_symmetric)
-from .sh import eval_sh_coeffs
+from .sh import eval_sh_channels
 
 NEAR_CULL_Z = 0.2
 LOWPASS = 0.3
@@ -68,10 +68,9 @@ def project_points(camera: Camera, xyz: jnp.ndarray):
     return p_view[:, :3], jnp.stack([pix_x, pix_y], axis=-1)
 
 
-def _project_channels(camera: Camera, xyz: jnp.ndarray):
+def _project_channels(camera: Camera, x, y, z):
     """project_points as flat [N] channels (identical math, no [N,4]
     intermediates — keeps the whole chain in one XLA fusion)."""
-    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     V = camera.world_view
     P = camera.full_proj
     vx = V[0, 0] * x + V[0, 1] * y + V[0, 2] * z + V[0, 3]
@@ -88,16 +87,17 @@ def _project_channels(camera: Camera, xyz: jnp.ndarray):
     return vx, vy, vz, pix_x, pix_y
 
 
-def _cov3d_channels(log_scale, scaling_modifier, quat):
-    """covariance_3d as 6 flat channels (xx, xy, xz, yy, yz, zz).
+def _cov3d_channels(ls, scaling_modifier, q):
+    """covariance_3d as 6 flat channels (xx, xy, xz, yy, yz, zz) from
+    log-scale channels ``ls`` (3-tuple) and quat channels ``q`` (4-tuple).
 
     Same math as build_scaling_rotation + L L^T (utils/general_utils.py:
     64-110) with no [N,3,3] intermediates."""
-    qn = jnp.sqrt(jnp.sum(quat * quat, axis=-1))
-    r = quat[:, 0] / qn
-    qx = quat[:, 1] / qn
-    qy = quat[:, 2] / qn
-    qz = quat[:, 3] / qn
+    qn = jnp.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3])
+    r = q[0] / qn
+    qx = q[1] / qn
+    qy = q[2] / qn
+    qz = q[3] / qn
     r00 = 1 - 2 * (qy * qy + qz * qz)
     r01 = 2 * (qx * qy - r * qz)
     r02 = 2 * (qx * qz + r * qy)
@@ -107,9 +107,9 @@ def _cov3d_channels(log_scale, scaling_modifier, quat):
     r20 = 2 * (qx * qz - r * qy)
     r21 = 2 * (qy * qz + r * qx)
     r22 = 1 - 2 * (qx * qx + qy * qy)
-    s0 = scaling_modifier * jnp.exp(log_scale[:, 0])
-    s1 = scaling_modifier * jnp.exp(log_scale[:, 1])
-    s2 = scaling_modifier * jnp.exp(log_scale[:, 2])
+    s0 = scaling_modifier * jnp.exp(ls[0])
+    s1 = scaling_modifier * jnp.exp(ls[1])
+    s2 = scaling_modifier * jnp.exp(ls[2])
     a0, a1, a2 = s0 * s0, s1 * s1, s2 * s2   # Sigma = R diag(s^2) R^T
     xx = a0 * r00 * r00 + a1 * r01 * r01 + a2 * r02 * r02
     xy = a0 * r00 * r10 + a1 * r01 * r11 + a2 * r02 * r12
@@ -214,13 +214,62 @@ def preprocess(params: GaussianParams, camera: Camera, *,
 
     Dead (padding) slots are forced invisible via ``alive``.
     """
-    xyz = params.xyz
-    vx, vy, vz, pix_x, pix_y = _project_channels(camera, xyz)
+    x, y, z = params.xyz[:, 0], params.xyz[:, 1], params.xyz[:, 2]
+    ls = tuple(params.log_scale[:, i] for i in range(3))
+    quat = tuple(params.quat[:, i] for i in range(4))
+    lop = params.logit_opacity[:, 0]
+    coeffs = None
+    if override_color is None:
+        coeffs = ([params.sh_dc[:, 0, c] for c in range(3)] +
+                  [params.sh_rest[:, k, c]
+                   for k in range(params.sh_rest.shape[1])
+                   for c in range(3)])
+    return _preprocess_from_channels(
+        camera, x, y, z, ls, quat, lop, coeffs,
+        active_sh_degree=active_sh_degree,
+        scaling_modifier=scaling_modifier, antialiasing=antialiasing,
+        alive=alive, override_color=override_color,
+        cov3d_precomp=cov3d_precomp)
+
+
+def preprocess_packed(packed: jnp.ndarray, camera: Camera, *,
+                      sh_degree: int, active_sh_degree: int,
+                      scaling_modifier: float = 1.0,
+                      antialiasing: bool = False,
+                      alive: Optional[jnp.ndarray] = None,
+                      override_color: Optional[jnp.ndarray] = None,
+                      cov3d_precomp: Optional[jnp.ndarray] = None) -> Projected:
+    """preprocess() over the channel-major packed parameter block [R, C]
+    (core.packed) — the training hot path. One differentiable row read feeds
+    the identical channel math; the parameter gradient materializes as a
+    single [R, C] stack instead of six reference-shaped pytree leaves."""
+    from .packed import all_channels
+    ch = all_channels(packed, sh_degree)
+    coeffs = None
+    if override_color is None:
+        coeffs = list(ch["sh_dc"]) + list(ch["sh_rest"])
+    return _preprocess_from_channels(
+        camera, ch["x"], ch["y"], ch["z"], ch["ls"], ch["quat"], ch["lop"],
+        coeffs, active_sh_degree=active_sh_degree,
+        scaling_modifier=scaling_modifier, antialiasing=antialiasing,
+        alive=alive, override_color=override_color,
+        cov3d_precomp=cov3d_precomp)
+
+
+def _preprocess_from_channels(camera: Camera, x, y, z, ls, quat, lop,
+                              coeffs, *, active_sh_degree: int,
+                              scaling_modifier, antialiasing: bool,
+                              alive, override_color,
+                              cov3d_precomp) -> Projected:
+    """Shared flat-channel preprocess core. ``coeffs`` is the SH coefficient
+    channel list ordered (band, color) with band 0 = DC; may be None when
+    ``override_color`` is given."""
+    vx, vy, vz, pix_x, pix_y = _project_channels(camera, x, y, z)
     depth = vz
     in_front = depth > NEAR_CULL_Z
 
     if cov3d_precomp is None:
-        sig = _cov3d_channels(params.log_scale, scaling_modifier, params.quat)
+        sig = _cov3d_channels(ls, scaling_modifier, quat)
     else:
         sig = tuple(cov3d_precomp[:, i] for i in range(6))
     cxx, cxy, cyy, det_orig, det = _cov2d_channels(camera, vx, vy, vz, sig)
@@ -238,7 +287,7 @@ def preprocess(params: GaussianParams, camera: Camera, *,
     lambda2 = mid - disc
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, lambda2)))
 
-    opacity = get_opacity(params)[:, 0]
+    opacity = jax.nn.sigmoid(lop)
     if antialiasing:
         h_scale = jnp.sqrt(jnp.maximum(AA_DET_CLAMP, det_orig / det))
         opacity = opacity * h_scale
@@ -270,14 +319,15 @@ def preprocess(params: GaussianParams, camera: Camera, *,
     if override_color is not None:
         rgb = override_color
     else:
-        dirs = xyz - camera.camera_center[None, :]
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        # per-band [N, 3] slices straight off the parameters — no
-        # [N, K, 3] concat + transpose materialization
-        coeffs = ([params.sh_dc[:, 0, :]] +
-                  [params.sh_rest[:, i, :]
-                   for i in range(params.sh_rest.shape[1])])
-        rgb = eval_sh_coeffs(active_sh_degree, coeffs, dirs)
+        # flat-channel SH: per-color Horner accumulation over (band, color)
+        # coefficient channels — XLA CSEs the shared basis polynomials
+        cc = camera.camera_center
+        dx, dy, dz = x - cc[0], y - cc[1], z - cc[2]
+        inv_n = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
+        rgb = jnp.stack([
+            eval_sh_channels(active_sh_degree, coeffs[c::3], dx, dy, dz)
+            for c in range(3)], axis=-1)
         rgb = jnp.maximum(rgb + 0.5, 0.0)
 
     return Projected(

@@ -62,6 +62,14 @@ def eval_sh_coeffs(deg: int, coeffs, dirs: jnp.ndarray) -> jnp.ndarray:
     (coeffs[i]: [..., C]) — callers with [N, K, C]-layout parameters pass
     middle-axis slices directly, skipping the [N, K, C] -> [N, C, K]
     concat + transpose materializations the array form needs."""
+    return eval_sh_channels(deg, coeffs, dirs[..., 0:1], dirs[..., 1:2],
+                            dirs[..., 2:3])
+
+
+def eval_sh_channels(deg: int, coeffs, x, y, z) -> jnp.ndarray:
+    """Horner accumulation over fully flat channels: coeffs[i] and x/y/z are
+    broadcast-compatible arrays (typically [N]) — the form the channel-major
+    packed parameter layout feeds directly."""
     assert 0 <= deg <= 4
     table = {i: coeffs[i] for i in range(min(len(coeffs), (deg + 1) ** 2))}
 
@@ -72,7 +80,6 @@ def eval_sh_coeffs(deg: int, coeffs, dirs: jnp.ndarray) -> jnp.ndarray:
 
     result = C0 * sh[..., 0]
     if deg > 0:
-        x, y, z = dirs[..., 0:1], dirs[..., 1:2], dirs[..., 2:3]
         result = (result -
                   C1 * y * sh[..., 1] +
                   C1 * z * sh[..., 2] -

@@ -131,7 +131,11 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
         # int columns ride as f32 VALUES — exact below 2^24 (offsets <
         # capacity, ids < N) and immune to the denormal-flush hazard that
         # bitcast patterns have under GSPMD-partitioned gathers
-        assert capacity < (1 << 24), "f32 exact-int range"
+        assert capacity < (1 << 24), "f32 exact-int range (offsets)"
+        assert n < (1 << 24), \
+            "f32 exact-int range (gids): >16.7M gaussians would silently " \
+            "round entry ids, corrupting kernel routing and gradient " \
+            "segmentation — shard over a mesh instead"
         comb = jnp.concatenate(
             [table.astype(jnp.float32), payload_s], axis=1)  # [N, 5+F]
         comb_rows = jnp.repeat(comb, counts, axis=0,

@@ -396,6 +396,13 @@ def _raster_tiles_fwd(feats, tile_start, tile_end, row_phase,
         pad = t_pad - tile_start.shape[0]
         tile_start = jnp.pad(tile_start, (0, pad))
         tile_end = jnp.pad(tile_end, (0, pad))   # empty padded tiles
+    # Memory note (advisor r2): the transmittance checkpoint is
+    # [num_tiles, max_chunks, 256] f32 in HBM between forward and backward —
+    # ~67 MB at 1080p/max_per_tile=1024, scaling linearly with max_per_tile
+    # (~330 MB at 4096, ~600 MB at 8192). Deliberate recompute-vs-store
+    # trade (it deleted the whole backward re-sweep); if capacity
+    # auto-growth ever drives max_per_tile into the tens of thousands,
+    # size max_chunks from the measured max tile length instead.
     u_chunks = s.max_chunks if save_ustore else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -507,7 +514,13 @@ def _pack_bf16_pair(a, b):
     """Two f32 columns -> one f32-typed column carrying the bf16 pair.
 
     Pure bit transport (expansion gather + sort never do arithmetic on
-    payload columns); same GSPMD caveat as the int-table bitcast."""
+    payload columns). GSPMD HAZARD: a partitioned gather can lower to
+    select+psum, and TPU arithmetic flushes denormals — bit patterns that
+    happen to be f32 denormals would be silently zeroed. Safe here ONLY
+    because bf16_features runs per-device (single chip, or inside shard_map
+    where the expansion/sort are per-shard); render_multichip never enables
+    it across a partitioned axis, and the RasterConfig doc marks
+    bf16_features as incompatible with GSPMD-partitioned rendering."""
     pair = jnp.stack([a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)],
                      axis=-1)                              # [N, 2] bf16
     return jax.lax.bitcast_convert_type(pair, jnp.float32)  # [N]
@@ -544,7 +557,8 @@ def _bin_with_payload_fwd(packets, proj_sg, dims, row_phase):
     # invalid (padding) entries carry junk gids from the repeat fill — send
     # them to the sentinel so they sort past every real run in the backward
     gid_sent = jnp.where(bins.entry_valid, bins.entry_gid, n)
-    return (bins, sorted_cols), (gid_sent, bins.gauss_counts, n, proj_sg)
+    return (bins, sorted_cols), (gid_sent, bins.gauss_counts, n, proj_sg,
+                                 bins.overflow)
 
 
 def _zero_tangent(x):
@@ -555,9 +569,16 @@ def _zero_tangent(x):
 
 
 def _bin_with_payload_bwd(dims, residuals, cot):
-    gid_sent, counts_orig, n, proj_sg = residuals
+    gid_sent, counts_orig, n, proj_sg, overflow = residuals
     _, d_cols = cot                      # TileBins cotangents are float0
     d_packets = segment_sum_runend(d_cols, gid_sent, counts_orig, n)
+    # under capacity overflow the entry stream is truncated, so the run-end
+    # windows derived from the (untruncated) gauss_counts misalign past the
+    # cut and would cross-contaminate gradients BETWEEN gaussians; a
+    # truncated step must produce conservative (zero) raster gradients
+    # instead — the trainer observes the overflow flag at the next sync and
+    # re-jits with bigger buffers (train/loop.py::_handle_overflow)
+    d_packets = jnp.where(overflow, jnp.zeros_like(d_packets), d_packets)
     d_proj = jax.tree.map(_zero_tangent, proj_sg)
     import numpy as _np
     d_phase = _np.zeros((1,), jax.dtypes.float0)   # int input, no tangent

@@ -22,8 +22,13 @@ from ..models.gaussian_model import TrainState, init_state
 MAGIC = b"GSTPUCK1"
 
 
-def save_checkpoint(path: str, state: TrainState, iteration: int,
+def save_checkpoint(path: str, state, iteration: int,
                     spatial_lr_scale: float = 1.0):
+    """``state`` may be a TrainState or a PackedState (converted here so the
+    on-disk format stays layout-independent and reference-meaningful)."""
+    from ..models.packed_state import PackedState, unpack_state
+    if isinstance(state, PackedState):
+        state = unpack_state(state)
     state = jax.device_get(state)
     blob = serialization.to_bytes(state)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

@@ -81,11 +81,18 @@ class Trainer:
                  start_state: Optional[TrainState] = None,
                  start_iteration: int = 0, seed: int = 0,
                  initial_capacity: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, packed: Optional[bool] = None):
         """``mesh`` (a jax Mesh with a 'gauss' axis) shards the Gaussian
-        state over devices and renders via the shard_map multi-chip path."""
+        state over devices and renders via the shard_map multi-chip path.
+
+        ``packed`` stores the training state in the channel-major [R, C]
+        layout (models/packed_state.py) — measured ~TPU-layout win on the
+        per-step hot path. Defaults to on whenever no mesh is used."""
         assert len(train_cams) > 0
         self.mesh = mesh
+        self.packed = (mesh is None) if packed is None else packed
+        assert not (self.packed and mesh is not None), \
+            "packed layout is single-chip for now"
         self.train_cams = _normalize_resolutions(list(train_cams))
         self.test_cams = list(test_cams)
         self.model_cfg = model_cfg
@@ -135,6 +142,9 @@ class Trainer:
                     -(-self.state.capacity // mesh.devices.size)
                     * mesh.devices.size)
             self.state = shard_state(self.state, mesh)
+        if self.packed:
+            from ..models.packed_state import pack_state
+            self.state = jax.jit(pack_state)(self.state)
 
         self._build_step()
         self._camera_stack: list[int] = []
@@ -153,17 +163,23 @@ class Trainer:
         self.train_step = make_train_step(
             self.opt, self.model_cfg, self.pipe, self.raster,
             self.cam_batch, self.spatial_lr_scale, self.model_cfg.sh_degree,
-            mesh=self.mesh)
+            mesh=self.mesh, packed=self.packed)
         # spatial_lr_scale IS the scene extent: the reference assigns
         # cameras_extent to both (scene/__init__.py passes it as
         # spatial_lr_scale; train.py:161 uses it as the densify extent)
+        if self.packed:
+            from ..models.packed_state import (densify_and_prune_packed,
+                                               reset_opacity_packed)
+            densify_fn, reset_fn = densify_and_prune_packed, reset_opacity_packed
+        else:
+            densify_fn, reset_fn = densify_and_prune, reset_opacity
         self._densify = jax.jit(partial(
-            densify_and_prune,
+            densify_fn,
             grad_threshold=self.opt.densify_grad_threshold,
             min_opacity=0.005,
             extent=self.spatial_lr_scale,
             percent_dense=self.opt.percent_dense))
-        self._reset_opacity = jax.jit(reset_opacity)
+        self._reset_opacity = jax.jit(reset_fn)
 
     def _next_camera(self) -> int:
         # random pop without replacement (ref: train.py:96-98)
@@ -347,7 +363,11 @@ class Trainer:
                 new_cap = -(-new_cap // k) * k
             print(f"[gs_tpu] capacity {n_alive}/{cap} alive; "
                   f"growing to {new_cap}", flush=True)
-            self.state = grow_capacity(self.state, new_cap)
+            if self.packed:
+                from ..models.packed_state import grow_capacity_packed
+                self.state = grow_capacity_packed(self.state, new_cap)
+            else:
+                self.state = grow_capacity(self.state, new_cap)
             self._reshard()
             self._build_step()
 

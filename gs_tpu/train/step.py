@@ -62,19 +62,46 @@ def apply_exposure(image: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
 def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                     pipe: PipelineConfig, raster: RasterConfig,
                     cams: CameraBatch, spatial_lr_scale: float,
-                    max_sh_degree: int, mesh=None):
+                    max_sh_degree: int, mesh=None, packed: bool = False):
     """``mesh`` switches rendering to the shard_map multi-chip path
-    (gaussians sharded over the 'gauss' axis, tiles banded per device)."""
+    (gaussians sharded over the 'gauss' axis, tiles banded per device).
+
+    ``packed`` trains on the channel-major [R, C] parameter block
+    (models/packed_state.PackedState) — the TPU-native storage layout; the
+    state argument is then a PackedState. Identical semantics, different
+    memory layout (see core/packed.py)."""
     width, height = cams.width, cams.height
     use_sparse = opt.optimizer_type == "sparse_adam"
     use_exposure = model_cfg.train_test_exp
     bg_static = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
+    if packed:
+        assert mesh is None, "packed mode is single-chip for now"
+        from ..core.packed import layout as packed_layout, mask_sh_rows
+        from ..core.project import preprocess_packed
+        from ..models.packed_state import (adam_update_packed,
+                                           group_lr_rows)
+        lay = packed_layout(max_sh_degree)
 
     def loss_fn(params, tap, exposure_row, cam, gt_image, alpha_mask,
                 invdepth_gt, depth_mask, depth_ok, active_sh_degree,
                 iteration, bg, state_alive):
-        masked = mask_sh_rest(params, active_sh_degree)
-        if mesh is not None:
+        if packed:
+            masked = mask_sh_rows(params, lay, active_sh_degree)
+            proj = preprocess_packed(masked, cam, sh_degree=max_sh_degree,
+                                     active_sh_degree=max_sh_degree,
+                                     antialiasing=pipe.antialiasing,
+                                     alive=state_alive)
+            proj = proj._replace(mean2d=proj.mean2d + tap)
+            out = render_projected(proj, width, height, bg,
+                                   backend=raster.backend,
+                                   dup_capacity=raster.dup_capacity,
+                                   max_per_tile=raster.max_per_tile,
+                                   chunk=raster.chunk,
+                                   tile_block=raster.tile_block,
+                                   bf16_features=getattr(
+                                       raster, "bf16_features", False))
+        elif mesh is not None:
+            masked = mask_sh_rest(params, active_sh_degree)
             from ..parallel.render_mc import render_multichip
             out = render_multichip(masked, cam, bg, mesh,
                                    active_sh_degree=max_sh_degree,
@@ -85,6 +112,7 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    max_per_tile=raster.max_per_tile,
                                    chunk=raster.chunk)
         else:
+            masked = mask_sh_rest(params, active_sh_degree)
             proj = preprocess(masked, cam, active_sh_degree=max_sh_degree,
                               antialiasing=pipe.antialiasing,
                               alive=state_alive)
@@ -130,10 +158,11 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
         else:
             bg = bg_static
 
-        tap = jnp.zeros_like(state.params.xyz[:, :2])
+        tap = jnp.zeros((state.capacity, 2), jnp.float32)
         exposure_row = state.exposure[cam_idx]
+        raw_params = state.packed if packed else state.params
         (pgrads, tap_grad, exp_grad), aux = grad_fn(
-            state.params, tap, exposure_row, cam, gt_image, alpha_mask,
+            raw_params, tap, exposure_row, cam, gt_image, alpha_mask,
             invdepth_gt, depth_mask, depth_ok, active_sh_degree,
             iteration, bg, state.alive)
         out, ll1, ssim_v, dl1 = aux
@@ -148,9 +177,13 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
             lambda s: s,
             state)
 
-        lrs = group_lrs(opt, iteration, spatial_lr_scale)
         visible = out.visibility if use_sparse else None
-        state = adam_update(state, pgrads, lrs, visible)
+        if packed:
+            lr = group_lr_rows(lay, opt, iteration, spatial_lr_scale)
+            state = adam_update_packed(state, pgrads, lr, visible)
+        else:
+            lrs = group_lrs(opt, iteration, spatial_lr_scale)
+            state = adam_update(state, pgrads, lrs, visible)
 
         if use_exposure:
             full_exp_grad = jnp.zeros_like(state.exposure).at[cam_idx].set(exp_grad)

@@ -24,6 +24,18 @@ import numpy as np
 N = 1 << 19            # gaussian capacity (bench scale)
 D = 1 << int(os.environ.get("GS_CAP_LOG2", "22"))   # duplicate capacity
 NT = 8160              # tiles at 1080p / 16x16
+MPT = int(os.environ.get("GS_MPT", "1024"))         # max_per_tile (bench: 1024)
+
+
+def _enable_cache():
+    import jax
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def slope(name, fn, *args, k1=1, k2=5, jit=True):
@@ -62,6 +74,7 @@ def make_inputs():
 
 
 def main():
+    _enable_cache()
     import jax
     import jax.numpy as jnp
     which = set(sys.argv[1:]) or {"all"}
@@ -191,7 +204,7 @@ def main():
         bg = jnp.zeros(3)
         gt = jnp.zeros((3, 1080, 1920), jnp.float32)
         kwargs = dict(active_sh_degree=3, backend="pallas", alive=alive,
-                      dup_capacity=D, max_per_tile=8192, chunk=64)
+                      dup_capacity=D, max_per_tile=MPT, chunk=64)
 
         def prep_of(p):
             return preprocess(p, cam, active_sh_degree=3, alive=alive)
