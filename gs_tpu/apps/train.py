@@ -66,7 +66,29 @@ def main(argv=None):
                              "generously to avoid growth re-jits when "
                              "densification is expected to multiply the "
                              "point count)")
+    parser.add_argument("--mesh", type=str, default="0",
+                        help="shard the gaussian state over devices: 'auto' "
+                             "= all visible chips, an integer = that many; "
+                             "0/1 = single-chip. Rendering runs the "
+                             "shard_map multi-chip path (tiles banded per "
+                             "device, gradients reduce-scattered back)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() first (one "
+                             "process per host on a TPU pod slice; "
+                             "coordinator discovered from the TPU runtime / "
+                             "cluster env). Combine with --mesh auto so the "
+                             "mesh spans every host's chips; collectives "
+                             "ride ICI within a slice and DCN across. Saves "
+                             "and logs happen on process 0 only.")
     args = parser.parse_args(argv)
+
+    if args.multihost:
+        # must run before any other jax call; on TPU pods all arguments are
+        # autodetected from the runtime (SURVEY §2.4: DCN scale-out axis)
+        import jax
+        jax.distributed.initialize()
+        if args.mesh in ("0", "1"):
+            args.mesh = "auto"
 
     if args.detect_anomaly:
         # ref: train.py:253,269 (torch.autograd.set_detect_anomaly)
@@ -79,15 +101,31 @@ def main(argv=None):
     raster = extract_dataclass(RasterConfig, args)
     args.save_iterations.append(opt.iterations)
 
-    model_cfg.model_path = prepare_output_dir(model_cfg)
-    save_config(model_cfg.model_path, model_cfg, pipe, opt)
+    mesh = None
+    if args.mesh not in ("", "0", "1"):
+        import jax
+        from ..parallel.mesh import make_mesh
+        n = len(jax.devices()) if args.mesh == "auto" else int(args.mesh)
+        if n > 1:
+            mesh = make_mesh(n)
+            print(f"Sharding gaussians over {n} devices "
+                  f"({jax.process_count()} host(s))")
+
+    import jax as _jax
+    is_main = _jax.process_index() == 0
+
+    model_cfg.model_path = prepare_output_dir(model_cfg) if is_main \
+        else (model_cfg.model_path or "./output/worker")
+    if is_main:
+        save_config(model_cfg.model_path, model_cfg, pipe, opt)
 
     tb_writer = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
-        tb_writer = SummaryWriter(model_cfg.model_path)
-    except Exception:
-        print("Tensorboard not available: not logging progress")
+    if is_main:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb_writer = SummaryWriter(model_cfg.model_path)
+        except Exception:
+            print("Tensorboard not available: not logging progress")
 
     print(f"Optimizing {model_cfg.model_path}")
     scene = Scene(model_cfg.source_path, model_cfg.model_path,
@@ -116,10 +154,10 @@ def main(argv=None):
         model_cfg=model_cfg, opt=opt, pipe=pipe, raster=raster,
         test_cams=scene.get_test_cameras(),
         start_state=start_state, start_iteration=start_iter, seed=args.seed,
-        initial_capacity=args.initial_capacity or None)
+        initial_capacity=args.initial_capacity or None, mesh=mesh)
 
     viewer = None
-    if not args.disable_viewer:
+    if not args.disable_viewer and is_main:
         try:
             from ..viewer.server import ViewerServer
             viewer = ViewerServer(args.ip, args.port, trainer=trainer,
@@ -150,17 +188,25 @@ def main(argv=None):
             print(f"[{i}/{opt.iterations}] loss={tr.ema_loss:.5f} "
                   f"pts={int(tr.state.num_alive)} {its:.2f} it/s",
                   flush=True)
-        if i in save_at:
-            print(f"\n[ITER {i}] Saving Gaussians")
-            scene.save(i, tr.state.params, np.asarray(tr.state.alive),
-                       exposure=tr.state.exposure
-                       if model_cfg.train_test_exp else None)
         periodic = (args.checkpoint_every > 0 and
                     i % args.checkpoint_every == 0 and i != start_iter)
-        if i in ckpt_at or periodic:
+        if i in save_at or i in ckpt_at or periodic:
+            state = tr.state
+            if _jax.process_count() > 1:
+                # every process participates in the gather (the training loop
+                # is SPMD-synchronized, so all hosts reach this iteration);
+                # only process 0 touches the filesystem below
+                from jax.experimental import multihost_utils
+                state = multihost_utils.process_allgather(state)
+        if i in save_at and is_main:
+            print(f"\n[ITER {i}] Saving Gaussians")
+            scene.save(i, state.params, np.asarray(state.alive),
+                       exposure=state.exposure
+                       if model_cfg.train_test_exp else None)
+        if (i in ckpt_at or periodic) and is_main:
             print(f"\n[ITER {i}] Saving Checkpoint")
             save_checkpoint(os.path.join(model_cfg.model_path, f"chkpnt{i}.pth"),
-                            tr.state, i, tr.spatial_lr_scale)
+                            state, i, tr.spatial_lr_scale)
 
     def on_test(i, report, tr):
         for split, r in report.items():
