@@ -82,6 +82,20 @@ def main(argv=None):
                              "and logs happen on process 0 only.")
     args = parser.parse_args(argv)
 
+    # persistent XLA compile cache: warm restarts + the background AOT tier
+    # compile both land here, turning minutes of XLA into ~1 s loads
+    cache_dir = os.environ.get(
+        "GS_TPU_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/gs_tpu/jax_cache"))
+    if cache_dir and cache_dir != "0":
+        import jax
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
+
     if args.multihost:
         # must run before any other jax call; on TPU pods all arguments are
         # autodetected from the runtime (SURVEY §2.4: DCN scale-out axis)
@@ -172,9 +186,28 @@ def main(argv=None):
     t_start = time.perf_counter()
     last_log = [t_start, start_iter]
 
+    # while a viewer client is attached, cap block-scan dispatches to ~1s of
+    # iterations so the client gets frames at interactive rates (the
+    # reference drains its socket every iteration, train.py:72-86)
+    rate = [t_start, start_iter, 8.0]   # [t_prev, i_prev, its_ema]
+
+    def block_cap():
+        if viewer is None:
+            return None
+        if viewer.conn is None:
+            viewer.try_connect()
+        if viewer.conn is None:
+            return None
+        return min(64, max(1, int(rate[2])))
+
     def on_step(i, metrics, tr):
         if viewer is not None:
             viewer.poll()
+            t = time.perf_counter()
+            if i > rate[1] and t > rate[0]:
+                its = (i - rate[1]) / (t - rate[0])
+                rate[2] = 0.5 * rate[2] + 0.5 * its
+            rate[0], rate[1] = t, i
         now = time.perf_counter()
         if tb_writer is not None and i % 10 == 0:
             tb_writer.add_scalar("train_loss_patches/total_loss",
@@ -239,7 +272,8 @@ def main(argv=None):
     elapsed = trainer.train(test_iterations=set(args.test_iterations),
                             on_step=on_step, on_test=on_test, log_every=1,
                             block_scan=block_scan,
-                            boundary_iterations=boundaries)
+                            boundary_iterations=boundaries,
+                            block_cap=block_cap)
     print(f"\nTraining complete ({elapsed:.1f}s).")
     if viewer is not None:
         viewer.close()

@@ -14,6 +14,7 @@ overflow recovery (re-jit with a larger binning capacity).
 """
 from __future__ import annotations
 
+import copy
 import dataclasses
 import math
 import os
@@ -153,6 +154,26 @@ class Trainer:
         self._last_metrics = None
         self._last_cam = -1
         self._device_data = None      # lazily built for scan blocks
+        # overflow replay: keep the state at the last sync point plus a log
+        # of everything dispatched since, so a binning overflow (observable
+        # only at syncs) re-runs the damaged window with grown buffers
+        # instead of keeping truncated-gradient updates. Costs one extra
+        # device-resident copy of the training state between syncs.
+        self.overflow_replay = True
+        self._replaying = False
+        self._replay_log: list = []
+        self._synced = None
+        self._take_snapshot()
+        # ahead-of-time compile of the NEXT capacity tier: when densify
+        # pushes the alive count past aot_headroom*capacity, a background
+        # thread compiles the block-scan executable at capacity*growth_factor
+        # so the eventual growth re-jit costs a swap, not minutes of XLA
+        self.aot_next_tier = True
+        self.aot_headroom = 0.6
+        self._aot_scan: dict = {}        # capacity -> compiled executable
+        self._aot_pending: set = set()
+        self._aot_threads: list = []
+        self._scan_arg_spec = None
 
     # ------------------------------------------------------------- plumbing
 
@@ -160,6 +181,10 @@ class Trainer:
         # any re-jit invalidates the scan wrapper built on the old step
         self._device_data = None
         self._scan_step = None
+        # AOT executables were compiled from the old step (old raster sizes)
+        if hasattr(self, "_aot_scan"):
+            self._aot_scan.clear()
+            self._scan_arg_spec = None
         self.train_step = make_train_step(
             self.opt, self.model_cfg, self.pipe, self.raster,
             self.cam_batch, self.spatial_lr_scale, self.model_cfg.sh_degree,
@@ -202,6 +227,17 @@ class Trainer:
         would serialize the dispatch pipeline (and costs a full round trip on
         remote-attached TPUs). Returned metrics are device arrays.
         """
+        self._dispatch_step()
+        i = self.iteration
+        self._apply_schedule(i)
+        if sync or i % self.sync_every == 0:
+            self.sync_metrics()
+        return self._last_metrics
+
+    def _dispatch_step(self):
+        """Dispatch one train-step (no schedule, no sync) — the replayable
+        unit of per-step mode."""
+        self._log(("step",))
         self.iteration += 1
         i = self.iteration
         idx = self._next_camera()
@@ -219,13 +255,9 @@ class Trainer:
         self._last_metrics = metrics
         self._last_cam = idx
 
-        self._apply_schedule(i)
-        if sync or i % self.sync_every == 0:
-            self.sync_metrics()
-        return metrics
-
     def _apply_schedule(self, i: int):
         """Densify/opacity-reset at iteration i (ref: train.py:157-167)."""
+        self._log(("schedule", i))
         opt = self.opt
         if i < opt.densify_until_iter:
             if i > opt.densify_from_iter and i % opt.densification_interval == 0:
@@ -266,6 +298,7 @@ class Trainer:
         Every dispatch uses ONE bucket length (the densification interval,
         tail steps masked invalid) so arbitrary block lengths share a single
         compiled executable."""
+        self._log(("block", k))
         self._ensure_device_data()
         B = max(int(self.opt.densification_interval), 1)
         d = self._device_data
@@ -276,7 +309,7 @@ class Trainer:
             idxs = np.array(real + [real[-1]] * (B - b), np.int32)
             valid = np.arange(B) < b
             keys = jax.random.split(self._split_key(), B)
-            self.state, metrics = self._scan_step(
+            self.state, metrics = self._dispatch_scan(
                 self.state, d["images"], d["alphas"], d["invd"], d["dmask"],
                 d["dok"], jnp.int32(self.iteration), jnp.asarray(idxs), keys,
                 jnp.asarray(valid))
@@ -285,6 +318,68 @@ class Trainer:
             self._last_cam = int(real[-1])
         self._last_metrics = metrics
         return metrics
+
+    def _dispatch_scan(self, *args):
+        """Run one scan-block dispatch through an AOT-compiled executable for
+        this capacity if the background tier compile finished, else through
+        the (shape-polymorphic) scan jit."""
+        exec_ = self._aot_scan.get(self.state.capacity)
+        if exec_ is not None:
+            try:
+                return exec_(*args)
+            except Exception as e:   # aval drift — fall back to the jit
+                print(f"[gs_tpu] AOT executable rejected "
+                      f"(cap={self.state.capacity}): {e!r}", flush=True)
+                del self._aot_scan[self.state.capacity]
+        if self._scan_arg_spec is None:
+            self._scan_arg_spec = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), args)
+        return self._scan_step(*args)
+
+    def _spawn_aot(self, new_cap: int):
+        """Compile the block-scan executable for ``new_cap`` in a background
+        thread (XLA compiles of a grown tier cost minutes on TPU via the
+        remote compile helper; training continues at the current tier
+        meanwhile). Only for single-chip block-scan — the jit path under a
+        mesh carries input shardings an abstract lowering here would lose."""
+        if (not self.aot_next_tier or self.mesh is not None
+                or new_cap in self._aot_pending or new_cap in self._aot_scan
+                or self._scan_step is None or self._scan_arg_spec is None):
+            return
+        self._aot_pending.add(new_cap)
+        if self.packed:
+            from ..models.packed_state import grow_capacity_packed as grow_fn
+        else:
+            from ..models.gaussian_model import grow_capacity as grow_fn
+        state_spec = jax.eval_shape(partial(grow_fn, new_capacity=new_cap),
+                                    self.state)
+        spec = (state_spec,) + tuple(self._scan_arg_spec[1:])
+        scan = self._scan_step
+
+        def work():
+            t0 = time.perf_counter()
+            try:
+                compiled = scan.lower(*spec).compile()
+                if self._scan_step is scan:   # raster unchanged meanwhile
+                    self._aot_scan[new_cap] = compiled
+                    print(f"[gs_tpu] AOT-compiled capacity tier {new_cap} "
+                          f"in {time.perf_counter() - t0:.1f}s", flush=True)
+            except Exception as e:
+                print(f"[gs_tpu] AOT compile for tier {new_cap} failed: "
+                      f"{e!r}", flush=True)
+            finally:
+                self._aot_pending.discard(new_cap)
+
+        import threading
+        t = threading.Thread(target=work, daemon=True,
+                             name=f"gs-tpu-aot-{new_cap}")
+        t.start()
+        self._aot_threads.append(t)
+
+    def _join_aot(self):
+        for t in self._aot_threads:
+            t.join()
+        self._aot_threads.clear()
 
     def _next_boundary(self, i: int, end: int, extra=()) -> int:
         """Next schedule event strictly after iteration i."""
@@ -300,14 +395,75 @@ class Trainer:
         cands.extend(e for e in extra if e > i)
         return max(min(cands), i + 1)
 
-    def sync_metrics(self):
-        """Fetch the latest step metrics to host; handle overflow / NaN."""
-        metrics = self._last_metrics
-        if metrics is None:
+    # ------------------------------------------------- sync + overflow replay
+
+    def _log(self, entry):
+        if self.overflow_replay and not self._replaying:
+            self._replay_log.append(entry)
+
+    def _take_snapshot(self):
+        """Mark the current state verified-clean; replay restores to here.
+        Device arrays are immutable, so holding references IS the snapshot
+        (the step jits do not donate their inputs)."""
+        self._last_sync_iter = self.iteration
+        self._replay_log = []
+        if not self.overflow_replay:
+            self._snapshot = None
             return
-        if bool(metrics.overflow):
-            self._handle_overflow(int(metrics.num_duplicates),
-                                  int(metrics.max_tile_len))
+        self._snapshot = dict(
+            state=self.state, iteration=self.iteration, key=self.key,
+            camera_stack=list(self._camera_stack),
+            rng_state=copy.deepcopy(self.rng.bit_generator.state))
+
+    def _restore_snapshot(self):
+        s = self._snapshot
+        self.state = s["state"]
+        self.iteration = s["iteration"]
+        self.key = s["key"]
+        self._camera_stack = list(s["camera_stack"])
+        self.rng.bit_generator.state = copy.deepcopy(s["rng_state"])
+
+    def _replay_window(self) -> StepMetrics:
+        """Re-run everything dispatched since the last sync (same cameras,
+        same RNG draws) on the snapshot state with the re-jitted step."""
+        log = self._replay_log
+        self._replaying = True
+        try:
+            self._restore_snapshot()
+            for entry in log:
+                if entry[0] == "step":
+                    self._dispatch_step()
+                elif entry[0] == "schedule":
+                    self._apply_schedule(entry[1])
+                else:  # ("block", k)
+                    self.run_block(entry[1])
+        finally:
+            self._replaying = False
+            self._replay_log = log   # a second overflow replays again
+        return self._last_metrics
+
+    def sync_metrics(self):
+        """Fetch the latest step metrics to host; handle overflow / NaN.
+
+        On binning overflow the whole window since the previous sync is
+        replayed with grown buffers (the reference never trains on a
+        truncated render — CUDA buffers are exact per frame); with
+        ``overflow_replay`` off, truncated updates are kept (old behavior)."""
+        metrics = self._last_metrics
+        if metrics is None or metrics is self._synced:
+            return
+        attempts = 0
+        while bool(metrics.overflow):
+            changes = self._overflow_changes(int(metrics.num_duplicates),
+                                             int(metrics.max_tile_len))
+            if not changes:
+                break
+            replay = self.overflow_replay and attempts < 4
+            self._grow_raster(changes, will_replay=replay)
+            if not replay:
+                break
+            attempts += 1
+            metrics = self._replay_window()
         loss = float(metrics.loss)
         if not math.isfinite(loss):
             self._dump_debug(self._last_cam)
@@ -315,7 +471,8 @@ class Trainer:
                 f"non-finite loss at iteration {self.iteration} (camera "
                 f"{self._last_cam}); state snapshot written next to the model")
         self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss  # ref: train.py:142-148
-        self._last_sync_iter = self.iteration
+        self._synced = self._last_metrics
+        self._take_snapshot()
 
     def _dump_debug(self, cam_idx: int):
         """Crash snapshot of the rasterizer inputs — the TPU analogue of the
@@ -330,8 +487,8 @@ class Trainer:
                  cam_idx=cam_idx, iteration=self.iteration)
         print(f"[gs_tpu] wrote debug dump to {path}")
 
-    def _handle_overflow(self, num_duplicates: int, max_tile_len: int):
-        """Grow whichever static buffer actually overflowed, then re-jit."""
+    def _overflow_changes(self, num_duplicates: int, max_tile_len: int) -> dict:
+        """Which static binning buffer actually overflowed, grown to pow2."""
         changes = {}
         if num_duplicates > self.raster.dup_capacity:
             changes["dup_capacity"] = 1 << int(
@@ -339,28 +496,32 @@ class Trainer:
         if max_tile_len > self.raster.max_per_tile:
             changes["max_per_tile"] = 1 << int(
                 math.ceil(math.log2(max(max_tile_len + 1, 2))))
-        if not changes:
-            return
-        # overflow is only observable at sync points: every step since the
-        # previous sync may have trained on a truncated render/gradient —
-        # report the damage window so runs are auditable
-        ran = self.iteration - getattr(self, "_last_sync_iter", 0)
-        print(f"[gs_tpu] binning overflow (dups={num_duplicates}, "
-              f"max_tile={max_tile_len}); up to {ran} iterations ran "
-              f"truncated; re-jitting with {changes}", flush=True)
+        return changes
+
+    def _grow_raster(self, changes: dict, will_replay: bool):
+        """Grow the overflowed buffer(s) and re-jit the step."""
+        ran = self.iteration - self._last_sync_iter
+        msg = (f"replaying the {ran}-iteration window" if will_replay
+               else f"up to {ran} iterations ran truncated")
+        print(f"[gs_tpu] binning overflow; {msg}; re-jitting with {changes}",
+              flush=True)
         self.raster = dataclasses.replace(self.raster, **changes)
         self._build_step()
 
     def _maybe_grow(self, headroom: float = 0.85, factor: int = 4):
         n_alive = int(self.state.num_alive)
         cap = self.state.capacity
+        new_cap = cap * factor
+        if self.mesh is not None:
+            k = self.mesh.devices.size
+            new_cap = -(-new_cap // k) * k
         if n_alive > headroom * cap:
-            # grow aggressively: every growth re-jits the train step, which
-            # costs tens of seconds of XLA compile — memory is cheaper
-            new_cap = cap * factor
-            if self.mesh is not None:
-                k = self.mesh.devices.size
-                new_cap = -(-new_cap // k) * k
+            # grow aggressively: every growth recompiles the hot path at the
+            # new shapes (tens of seconds to minutes of XLA) — memory is
+            # cheaper. The jits themselves are capacity-polymorphic, so no
+            # rebuild happens here: the next dispatch either swaps in the
+            # AOT-compiled tier executable (if the background compile
+            # finished) or retraces lazily.
             print(f"[gs_tpu] capacity {n_alive}/{cap} alive; "
                   f"growing to {new_cap}", flush=True)
             if self.packed:
@@ -369,7 +530,8 @@ class Trainer:
             else:
                 self.state = grow_capacity(self.state, new_cap)
             self._reshard()
-            self._build_step()
+        elif n_alive > self.aot_headroom * cap:
+            self._spawn_aot(new_cap)
 
     def _reshard(self):
         """Re-apply the gauss-axis sharding after any capacity change —
@@ -455,12 +617,20 @@ class Trainer:
               on_step: Optional[Callable] = None,
               on_test: Optional[Callable] = None,
               log_every: int = 10, block_scan: bool = False,
-              boundary_iterations: Sequence[int] = ()):
+              boundary_iterations: Sequence[int] = (),
+              block_cap: Optional[Callable] = None):
         """Run until ``iterations`` (defaults to opt.iterations).
 
         ``block_scan`` runs whole schedule-aligned blocks of steps in one
         device dispatch each (lax.scan with device-resident images) — the
         right mode on TPU; per-step mode keeps the reference's loop shape.
+
+        ``block_cap()`` (evaluated before each block) may return an int to
+        cap the block length — used to keep an attached remote viewer
+        interactive (the reference drains its socket every iteration,
+        ref: train.py:72-86; a multi-hundred-step dispatch would stall a
+        connected client for its whole duration). Short blocks reuse the
+        same masked-bucket executable, so capping costs no recompiles.
         """
         end = iterations if iterations is not None else self.opt.iterations
         events = sorted(set(test_iterations) | set(boundary_iterations))
@@ -468,6 +638,10 @@ class Trainer:
         while self.iteration < end:
             if block_scan:
                 nb = self._next_boundary(self.iteration, end, extra=events)
+                if block_cap is not None:
+                    cap = block_cap()
+                    if cap:
+                        nb = min(nb, self.iteration + max(int(cap), 1))
                 metrics = self.run_block(nb - self.iteration)
                 i = self.iteration
                 self._apply_schedule(i)
@@ -480,6 +654,7 @@ class Trainer:
                 if on_step is not None and i % log_every == 0:
                     on_step(i, metrics, self)
             if i in test_iterations:
+                self.sync_metrics()   # replay any overflow before scoring
                 report = {
                     "test": self.evaluate(self.test_cams),
                     "train_sample": self.evaluate(self.train_cams[:5]),

@@ -72,6 +72,59 @@ def test_block_scan_trains(rng):
     assert int(tr.state.num_alive) != 0
 
 
+def test_block_cap_limits_dispatch_length(rng):
+    # a connected viewer caps block length so clients get frames between
+    # dispatches; schedule boundaries must still be respected
+    tr = make_trainer(rng)
+    seen = []
+    tr.train(iterations=40, block_scan=True, block_cap=lambda: 3,
+             on_step=lambda i, m, t: seen.append(i))
+    assert tr.iteration == 40
+    prev = 0
+    for i in seen:
+        assert i - prev <= 3
+        prev = i
+    assert 10 in seen and 20 in seen   # densify boundaries still hit exactly
+
+
+def test_aot_next_tier_executable(rng):
+    """The background tier compile produces an executable that run_block
+    actually uses after capacity growth, with results identical to the
+    lazily-retraced jit path."""
+    from gs_tpu.models.gaussian_model import grow_capacity
+    from gs_tpu.models.packed_state import grow_capacity_packed
+
+    tr = make_trainer(np.random.default_rng(42))
+    ctl = make_trainer(np.random.default_rng(42))
+    ctl.aot_next_tier = False
+
+    for t in (tr, ctl):
+        t.run_block(8)          # establishes _scan_arg_spec
+    assert tr._scan_arg_spec is not None
+
+    new_cap = tr.state.capacity * 4
+    tr._spawn_aot(new_cap)
+    tr._join_aot()
+    assert new_cap in tr._aot_scan, "background compile did not land"
+
+    # count executable invocations through the dispatch path
+    calls = []
+    orig = tr._aot_scan[new_cap]
+    tr._aot_scan[new_cap] = lambda *a: (calls.append(1), orig(*a))[1]
+
+    for t in (tr, ctl):
+        grow = grow_capacity_packed if t.packed else grow_capacity
+        t.state = grow(t.state, new_cap)
+        t.run_block(8)
+    assert calls, "grown dispatch bypassed the AOT executable"
+    assert tr.iteration == ctl.iteration == 16
+    p1, p2 = tr.state.params, ctl.state.params
+    for k in p1._fields:
+        np.testing.assert_allclose(np.asarray(getattr(p1, k)),
+                                   np.asarray(getattr(p2, k)),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+
+
 def test_block_and_step_modes_agree_on_schedule(rng):
     # same schedule events fire in both modes (values differ only through
     # RNG key derivation)

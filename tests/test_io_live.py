@@ -167,3 +167,75 @@ def test_train_live_smoke(rng, tmp_path, monkeypatch):
                      "--chunk", "32", "--init_points", "50"])
     assert os.path.exists(os.path.join(
         model, "point_cloud", "iteration_3", "point_cloud.ply"))
+
+
+# ------------------------------------------------------------------ GPS (S7)
+
+def test_sbp_roundtrip_and_resync(tmp_path):
+    """SBP framing: valid frames parse exactly; garbage bytes and
+    corrupted-CRC frames are skipped with resync at the next preamble
+    (ref: gps_pub.py reads via the sbp Framer, which does the same)."""
+    import io
+    from gs_tpu.io_live.gps import (SBP_MSG_BASELINE_NED, encode_baseline_ned,
+                                    iter_sbp, parse_baseline_ned)
+
+    f1 = encode_baseline_ned(1000, n_mm=1219, e_mm=-9304, d_mm=-483)
+    f2 = encode_baseline_ned(1100, n_mm=-3091, e_mm=-11695, d_mm=-434)
+    corrupted = bytearray(encode_baseline_ned(1050, 1, 2, 3))
+    corrupted[10] ^= 0xFF   # payload bit flip -> CRC mismatch
+    blob = b"\x00\x55\x13garbage" + f1 + bytes(corrupted) + b"\x55" + f2
+
+    msgs = list(iter_sbp(io.BytesIO(blob)))
+    assert [m[0] for m in msgs] == [SBP_MSG_BASELINE_NED] * 2
+    a = parse_baseline_ned(msgs[0][2])
+    b = parse_baseline_ned(msgs[1][2])
+    # the reference's own logged start/end positions (gps_pub.py:47-49)
+    assert a.enu_meters() == pytest.approx((-9.304, 1.219, 0.483))
+    assert b.enu_meters() == pytest.approx((-11.695, -3.091, 0.434))
+
+
+def test_gps_pub_cli_replay_and_publish(tmp_path):
+    """gps_pub CLI end-to-end on a capture file: CSV log written in the
+    reference schema and msgpack points received on the TCP channel."""
+    import socket
+    import struct
+    import msgpack
+    from gs_tpu.apps import gps_pub
+    from gs_tpu.io_live.gps import encode_baseline_ned
+
+    cap = tmp_path / "capture.sbp"
+    cap.write_bytes(b"".join(
+        encode_baseline_ned(1000 + 100 * i, n_mm=100 * i, e_mm=-200 * i,
+                            d_mm=50 * i)
+        for i in range(5)))
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    got = []
+
+    def receiver():
+        conn, _ = srv.accept()
+        with conn:
+            while len(got) < 5:
+                n = struct.unpack("<I", conn.recv(4, socket.MSG_WAITALL))[0]
+                got.append(msgpack.unpackb(
+                    conn.recv(n, socket.MSG_WAITALL)))
+
+    t = threading.Thread(target=receiver, daemon=True)
+    t.start()
+    csv_path = tmp_path / "baseline_ned.csv"
+    n = gps_pub.main(["-p", str(cap), "--csv", str(csv_path), "--quiet",
+                      "--publish", f"127.0.0.1:{srv.getsockname()[1]}"])
+    t.join(timeout=10)
+    srv.close()
+    assert n == 5
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0] == "TS,X,Y,Z"
+    assert len(lines) == 6
+    assert len(got) == 5
+    assert got[2]["topic"] == "/rtk_gps_pos"
+    assert got[2]["x"] == pytest.approx(-0.4)   # e=-400mm
+    assert got[2]["y"] == pytest.approx(0.2)
+    assert got[2]["z"] == pytest.approx(-0.1)
+    assert [g["seq"] for g in got] == list(range(5))

@@ -9,36 +9,25 @@ unit-normalized activations, bias-free 1x1 lin heads, spatial mean, layer
 sum — lpips.py:31-36) in torch.nn.functional with fixed random weights, and
 require the JAX port to match on random images.
 """
+import os
+
 import numpy as np
 import pytest
 import jax.numpy as jnp
 
-torch = pytest.importorskip("torch")
-
 from gs_tpu.ops import lpips as L
+from utils import lpips_random_weights
 
 
 def _make_random_weights(rng):
-    arrays = {}
-    cin = 3
-    conv_idx = 0
-    for c in L.VGG16_CFG:
-        if c == "M":
-            continue
-        arrays[f"conv{conv_idx}_w"] = rng.normal(
-            0, 0.05, (c, cin, 3, 3)).astype(np.float32)
-        arrays[f"conv{conv_idx}_b"] = rng.normal(0, 0.05, (c,)).astype(
-            np.float32)
-        cin = c
-        conv_idx += 1
-    for i, nc in enumerate(L.TAP_CHANNELS):
-        arrays[f"lin{i}"] = np.abs(rng.normal(0, 0.1, (1, nc))).astype(
-            np.float32)
+    # legacy shim: the architecture test draws weights from the passed rng
+    arrays = lpips_random_weights(int(rng.integers(0, 2 ** 31)))
     return arrays
 
 
 def _torch_lpips(img1, img2, weights):
     """Reference pipeline, verbatim semantics (networks.py + lpips.py)."""
+    import torch
     import torch.nn.functional as F
 
     mean = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
@@ -73,6 +62,7 @@ def _torch_lpips(img1, img2, weights):
 
 
 def test_lpips_matches_torch_reference(rng, tmp_path):
+    torch = pytest.importorskip("torch")
     weights = _make_random_weights(rng)
     npz = tmp_path / "lpips_rand.npz"
     np.savez(npz, **weights)
@@ -95,3 +85,63 @@ def test_lpips_matches_torch_reference(rng, tmp_path):
 def test_lpips_missing_weights_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         L.lpips_vgg(str(tmp_path / "absent.npz"))
+
+
+def test_convert_torch_weights_cli(tmp_path):
+    """The one-command converter must map torchvision vgg16 feature indices
+    (convs at 0,2,5,7,10,12,14,17,19,21,24,26,28) and richzhang lin-head
+    keys onto our npz layout exactly."""
+    torch = pytest.importorskip("torch")
+    weights = lpips_random_weights(7)
+    conv_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    vgg = {}
+    for ci, ti in enumerate(conv_ids):
+        vgg[f"features.{ti}.weight"] = torch.from_numpy(weights[f"conv{ci}_w"])
+        vgg[f"features.{ti}.bias"] = torch.from_numpy(weights[f"conv{ci}_b"])
+    lin = {f"lin{i}.model.1.weight":
+           torch.from_numpy(weights[f"lin{i}"][:, :, None, None])
+           for i in range(5)}
+    vp, lp = tmp_path / "vgg16.pth", tmp_path / "vgg.pth"
+    torch.save(vgg, vp)
+    torch.save(lin, lp)
+    out = tmp_path / "lpips.npz"
+    from gs_tpu.apps.convert_lpips import main as conv_main
+    conv_main(["--vgg", str(vp), "--lin", str(lp), "-o", str(out)])
+    loaded = np.load(out)
+    assert set(loaded.files) == set(weights)
+    for k, v in weights.items():
+        np.testing.assert_array_equal(loaded[k], v)
+
+
+def test_lpips_tap_fixture(tmp_path):
+    """Committed fixture from the torch replica (tests/golden/lpips_taps.npz,
+    regenerated only by gen_lpips_fixture.py): every normalized tap
+    activation AND the final value must match — catches drift in any single
+    stage (conv padding, pool placement, normalization, z-score constants)
+    without torch in the loop."""
+    import jax
+    fx = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                              "lpips_taps.npz"))
+    weights = lpips_random_weights(int(fx["seed"]))
+    npz = tmp_path / "w.npz"
+    np.savez(npz, **weights)
+
+    img1, img2 = jnp.asarray(fx["img1"]), jnp.asarray(fx["img2"])
+
+    # final value through the public entry point
+    f = L.lpips_vgg(str(npz))
+    got = float(f(img1, img2))
+    assert got == pytest.approx(float(fx["value"]), rel=1e-4, abs=1e-6)
+
+    # per-tap normalized activations (strided slices as committed)
+    w = {k: jnp.asarray(v) for k, v in weights.items()}
+    shift = jnp.asarray(L.SHIFT)[None, :, None, None]
+    scale = jnp.asarray(L.SCALE)[None, :, None, None]
+    cs, ys, xs = 7, 3, 5   # gen_lpips_fixture.TAP_STRIDES
+    for img, suffix in ((img1, "a"), (img2, "b")):
+        taps = L._vgg_features((img[None] - shift) / scale, w)
+        for i, t in enumerate(taps):
+            t = np.asarray(L._normalize_act(t))[0, ::cs, ::ys, ::xs]
+            np.testing.assert_allclose(
+                t, fx[f"tap{i}_{suffix}"], rtol=2e-4, atol=2e-5,
+                err_msg=f"tap {i} image {suffix}")

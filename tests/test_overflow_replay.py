@@ -1,0 +1,95 @@
+"""Overflow-window replay: a binning overflow (observable only at sync
+points) must not leave truncated-gradient updates in the training state.
+
+The trainer snapshots its state at every sync and logs the dispatches since;
+on overflow it grows the static buffers, re-jits, and re-runs the damaged
+window with the SAME camera picks and RNG draws — so the final state equals
+a run that never overflowed (the reference never trains on a truncated
+render: its CUDA buffers are sized exactly per frame).
+"""
+import numpy as np
+
+from gs_tpu.config import (ModelConfig, OptimizationConfig, PipelineConfig,
+                           RasterConfig)
+from gs_tpu.data.camera_utils import LoadedCamera
+from gs_tpu.data.dataset_readers import CameraInfo
+from gs_tpu.train.loop import Trainer
+
+from utils import default_camera
+
+
+def make_trainer(rng, dup_capacity, iters=30, replay=True):
+    W, H = 64, 48
+    cam = default_camera(W, H)
+    cams = []
+    for i in range(4):
+        img = rng.uniform(0, 1, (3, H, W)).astype(np.float32)
+        info = CameraInfo(uid=i, R=np.eye(3), T=np.zeros(3), fovx=1.0,
+                          fovy=0.8, image_path="", image_name=f"v{i}",
+                          width=W, height=H)
+        cams.append(LoadedCamera(camera=cam, info=info, image=img,
+                                 alpha_mask=np.ones((1, H, W), np.float32),
+                                 invdepth=None, depth_mask=None,
+                                 depth_reliable=False))
+    pts = np.concatenate([rng.uniform(-1, 1, (50, 2)),
+                          rng.uniform(3, 5, (50, 1))], 1)
+    cols = rng.uniform(0, 1, (50, 3))
+    opt = OptimizationConfig(iterations=iters, position_lr_max_steps=iters,
+                             densify_from_iter=5, densification_interval=10,
+                             densify_until_iter=25,
+                             opacity_reset_interval=1000)
+    raster = RasterConfig(backend="binned", dup_capacity=dup_capacity,
+                          max_per_tile=512, chunk=32)
+    tr = Trainer(cams, (pts, cols, np.zeros_like(pts)),
+                 spatial_lr_scale=1.0, model_cfg=ModelConfig(sh_degree=1),
+                 opt=opt, pipe=PipelineConfig(), raster=raster,
+                 initial_capacity=256, seed=7)
+    tr.overflow_replay = replay
+    tr._take_snapshot()
+    return tr
+
+
+def _final_params(tr):
+    p = tr.state.params
+    return {k: np.asarray(getattr(p, k)) for k in p._fields}
+
+
+def _assert_params_equal(a, b):
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=f"field {k}")
+
+
+def test_replay_block_scan(rng):
+    # identical scene/data in both trainers (fresh generators, same seed)
+    ctl = make_trainer(np.random.default_rng(42), dup_capacity=4096)
+    ovf = make_trainer(np.random.default_rng(42), dup_capacity=64)
+
+    ctl.train(iterations=30, block_scan=True)
+    ovf.train(iterations=30, block_scan=True)
+    assert ctl.raster.dup_capacity == 4096
+    assert ovf.raster.dup_capacity > 64, "overflow never triggered"
+    assert int(ctl.state.num_alive) == int(ovf.state.num_alive)
+    _assert_params_equal(_final_params(ctl), _final_params(ovf))
+    assert np.isclose(ctl.ema_loss, ovf.ema_loss, rtol=1e-4)
+
+
+def test_replay_step_mode(rng):
+    ctl = make_trainer(np.random.default_rng(42), dup_capacity=4096)
+    ovf = make_trainer(np.random.default_rng(42), dup_capacity=64)
+    ctl.sync_every = 10
+    ovf.sync_every = 10
+
+    ctl.train(iterations=30, block_scan=False)
+    ovf.train(iterations=30, block_scan=False)
+    assert ovf.raster.dup_capacity > 64
+    _assert_params_equal(_final_params(ctl), _final_params(ovf))
+
+
+def test_no_replay_keeps_old_behavior(rng):
+    """overflow_replay=False keeps the round-2 semantics: grow + re-jit but
+    keep the truncated updates (still converges, not state-equal)."""
+    tr = make_trainer(rng, dup_capacity=64, replay=False)
+    tr.train(iterations=30, block_scan=True)
+    assert tr.raster.dup_capacity > 64
+    assert np.isfinite(tr.ema_loss)

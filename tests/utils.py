@@ -31,6 +31,31 @@ def random_params(rng, n, sh_degree=3, spread=1.0, z_center=4.0,
     )
 
 
+def lpips_random_weights(seed: int):
+    """Deterministic random LPIPS/VGG16 weights (PCG64 is reproducible
+    across platforms). Shared by the architecture test, the committed tap
+    fixture generator, and the fixture regression test — committing only the
+    seed keeps the fixture small (full random VGG16 weights are ~59 MB)."""
+    from gs_tpu.ops import lpips as L
+    rng = np.random.default_rng(seed)
+    arrays = {}
+    cin = 3
+    conv_idx = 0
+    for c in L.VGG16_CFG:
+        if c == "M":
+            continue
+        arrays[f"conv{conv_idx}_w"] = rng.normal(
+            0, 0.05, (c, cin, 3, 3)).astype(np.float32)
+        arrays[f"conv{conv_idx}_b"] = rng.normal(0, 0.05, (c,)).astype(
+            np.float32)
+        cin = c
+        conv_idx += 1
+    for i, nc in enumerate(L.TAP_CHANNELS):
+        arrays[f"lin{i}"] = np.abs(rng.normal(0, 0.1, (1, nc))).astype(
+            np.float32)
+    return arrays
+
+
 def default_camera(width=128, height=96, fov_deg=60.0):
     """Identity-pose camera at origin looking down +z."""
     R = np.eye(3)
