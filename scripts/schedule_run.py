@@ -67,6 +67,12 @@ def main():
     ap.add_argument("--iters", type=int, default=7000)
     ap.add_argument("--views", type=int, default=36)
     ap.add_argument("--res", type=int, nargs=2, default=(160, 120))
+    ap.add_argument("--reset_interval", type=int, default=2000,
+                    help="opacity reset interval; 0 disables resets "
+                         "(ablation for the post-densify PSNR decay study)")
+    ap.add_argument("--initial_capacity", type=int, default=1 << 15)
+    ap.add_argument("--dup_capacity", type=int, default=1 << 20)
+    ap.add_argument("--max_per_tile", type=int, default=4096)
     ap.add_argument("--out", default="SCHEDULE_RUN.json")
     args = ap.parse_args()
 
@@ -126,31 +132,38 @@ def main():
     pts = rng.uniform(-2.0, 2.0, (n0, 3))
     cols = rng.uniform(0, 1, (n0, 3))
 
-    reset_interval = 2000
+    # reset_interval=0 disables resets entirely (the reference has no such
+    # mode; this is an ablation knob for the decay study, VERDICT r2 #7)
+    reset_interval = args.reset_interval or (10 * args.iters)
     opt = OptimizationConfig(
         iterations=args.iters, position_lr_max_steps=args.iters,
         densify_from_iter=500, densify_until_iter=args.iters * 4 // 7,
         densification_interval=100, opacity_reset_interval=reset_interval,
         densify_grad_threshold=1e-4)   # reduced-scale gradients are smaller
-    raster = RasterConfig(backend="auto", dup_capacity=1 << 20,
-                          max_per_tile=4096, chunk=64)
+    raster = RasterConfig(backend="auto", dup_capacity=args.dup_capacity,
+                          max_per_tile=args.max_per_tile, chunk=64)
     tr = Trainer(train_cams, (pts, cols, np.zeros_like(pts)),
                  spatial_lr_scale=4.0, model_cfg=ModelConfig(sh_degree=3),
                  opt=opt, pipe=PipelineConfig(), raster=raster,
-                 test_cams=test_cams, initial_capacity=1 << 15)
+                 test_cams=test_cams,
+                 initial_capacity=args.initial_capacity)
 
     trajectory = []
     t0 = time.perf_counter()
 
     def on_test(i, report, trainer):
         psnr = report["test"].get("psnr", float("nan"))
+        # train PSNR disambiguates the post-densify decay: overfitting shows
+        # train rising while test falls; schedule damage drops both
+        tpsnr = report.get("train_sample", {}).get("psnr", float("nan"))
         n_alive = int(trainer.state.num_alive)
         sh_deg = min(i // 1000, 3)
         trajectory.append({"iter": i, "test_psnr": round(psnr, 3),
+                           "train_psnr": round(tpsnr, 3),
                            "n_gaussians": n_alive, "sh_degree": sh_deg,
                            "wall_s": round(time.perf_counter() - t0, 1)})
-        print(f"[{i:5d}] psnr={psnr:.2f} n={n_alive} sh={sh_deg} "
-              f"ema_loss={trainer.ema_loss:.4f}", flush=True)
+        print(f"[{i:5d}] psnr={psnr:.2f} train={tpsnr:.2f} n={n_alive} "
+              f"sh={sh_deg} ema_loss={trainer.ema_loss:.4f}", flush=True)
 
     test_iters = sorted(set(
         list(range(500, args.iters + 1, 500))
@@ -175,7 +188,8 @@ def main():
     final_n = int(tr.state.num_alive)
     result = {
         "config": {"iters": args.iters, "views": args.views, "res": [W, H],
-                   "init_points": n0, "opacity_reset_interval": reset_interval,
+                   "init_points": n0,
+                   "opacity_reset_interval": args.reset_interval,
                    "densify_until": opt.densify_until_iter},
         "final": {"test_psnr": trajectory[-1]["test_psnr"] if trajectory
                   else None,
