@@ -80,6 +80,9 @@ class RasterConfig:
     bf16_features: bool = False      # stream rgb+invdepth as bf16 through
     # the expansion/sort (pallas backend; ~0.4% color quantization, grads
     # straight-through — see tests/test_pallas.py bf16 parity tests)
+    pallas_expand: bool = False      # duplicate expansion via the block
+    # one-hot MXU kernel (ops/expand_pallas.py) instead of jnp.repeat
+    # (pallas backend; needs dup_capacity % 512 == 0)
 
 
 def asdict(cfg) -> dict:

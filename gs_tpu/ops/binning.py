@@ -55,7 +55,9 @@ def bin_gaussians(proj: Projected, width: int, height: int,
 
 def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
                           tile_x: int, tile_y: int, capacity: int,
-                          row_phase=0, row_stride: int = 1):
+                          row_phase=0, row_stride: int = 1,
+                          expand: str = "repeat",
+                          expand_interpret: bool = False):
     """Binning that optionally carries per-gaussian ``payload`` [N, F] columns
     through the expansion and the tile sort, returning them per sorted entry
     as F separate [D] columns. Carrying the payload in the sort replaces the
@@ -66,91 +68,125 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     tile rows phase + j*stride, j in [0, height/tile_y) — the interleaved
     multi-chip band assignment. Coordinates stay global; the tile ids emitted
     are LOCAL (j*gx + col).
+
+    ``expand``: "repeat" (XLA jnp.repeat row expansion) or "pallas" (the
+    block one-hot MXU expansion kernel, ops/expand_pallas.py — requires
+    payload, F <= 10, and capacity a multiple of its BLOCK).
     """
     gx, gy = tile_grid(width, height, tile_x, tile_y)
     num_tiles = gx * gy
     n = proj.depth.shape[0]
 
-    # 1. global depth order (stable; invisible last)
-    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
-    order = jnp.argsort(depth_key)                       # [N] stable
-    # bin at the opacity-aware cull bbox when the preprocess provides it
-    # (exact: beyond it alpha < 1/255 at every pixel — see core/project.py).
-    # ONE packed gather by `order` replaces 4-5 separate ones (each random
-    # [N]-row gather costs ~ the same regardless of width).
+    # 1. tile spans + duplicate counts, PRE-SORT (all elementwise).
+    # Binning uses the opacity-aware cull bbox when the preprocess provides
+    # it (exact: beyond it alpha < 1/255 at every pixel — core/project.py).
     if proj.radius_cull is not None:
         rcull = proj.radius_cull
     else:
         rcull = jnp.stack([proj.radius, proj.radius], axis=1)
-    # radii ride as f32 VALUES (exact below 2^24) — NOT bitcast patterns:
-    # under GSPMD a partitioned gather can lower to select+psum, and TPU
-    # arithmetic flushes denormals, zeroing bitcast small-int payloads
-    geom = jnp.concatenate([
-        proj.mean2d,                                            # 0:2
-        rcull.astype(jnp.float32),                              # 2:4
-        proj.visible.astype(jnp.float32)[:, None],              # 4
-    ] + ([payload] if payload is not None else []), axis=1)     # 5:
-    geom_s = jnp.take(geom, order, axis=0)               # [N, 5(+F)]
-    mean2d_s = geom_s[:, 0:2]
-    radius_sx = geom_s[:, 2].astype(jnp.int32)
-    radius_sy = geom_s[:, 3].astype(jnp.int32)
-    visible_s = (geom_s[:, 4] > 0.5) & (radius_sx > 0) & (radius_sy > 0)
-
-    # 2. tile spans in depth order
+    radius_x = rcull[:, 0].astype(jnp.int32)
+    radius_y = rcull[:, 1].astype(jnp.int32)
+    visible0 = proj.visible & (radius_x > 0) & (radius_y > 0)
     if row_stride == 1:
-        rx0, ry0, rx1, ry1 = tile_rect(mean2d_s, radius_sx, gx, gy,
-                                       tile_x, tile_y, radius_y=radius_sy)
+        rx0, ry0, rx1, ry1 = tile_rect(proj.mean2d, radius_x, gx, gy,
+                                       tile_x, tile_y, radius_y=radius_y)
     else:
         # global rect rows, then remap to this device's interleaved rows
         # (global row = phase + j*stride): the owned rows inside
         # [gy0, gy1) form the LOCAL range [ceil((gy0-phase)/stride),
         # floor((gy1-1-phase)/stride)+1)
         gy_glob = gy * row_stride
-        rx0, gy0, rx1, gy1 = tile_rect(mean2d_s, radius_sx, gx, gy_glob,
-                                       tile_x, tile_y, radius_y=radius_sy)
+        rx0, gy0, rx1, gy1 = tile_rect(proj.mean2d, radius_x, gx, gy_glob,
+                                       tile_x, tile_y, radius_y=radius_y)
         phase = jnp.asarray(row_phase, jnp.int32)
         ry0 = jnp.clip((gy0 - phase + row_stride - 1) // row_stride, 0, gy)
         ry1 = jnp.clip((gy1 - 1 - phase) // row_stride + 1, 0, gy)
         ry1 = jnp.maximum(ry1, ry0)
-    span_w = rx1 - rx0
-    span_h = ry1 - ry0
-    counts = jnp.where(visible_s, span_w * span_h, 0)
-    total = jnp.sum(counts)
+    counts0 = jnp.where(visible0, (rx1 - rx0) * (ry1 - ry0), 0)
 
-    # expansion: per-gaussian rows repeated by their touched-tile counts.
-    # jnp.repeat on whole rows is the cheapest expansion on v5e (a monotone
-    # row gather); ONE fused repeat of the int table (bitcast to f32) plus
-    # the payload halves the expansion traffic vs two separate repeats
-    # (measured 22 + 27 ms -> ~30 ms at 4.2M rows).
+    # 2. global depth order. Gaussians producing NO entries (invisible, zero
+    # radius, or empty local rect) sort to the END — this makes offsets
+    # strictly increasing over the active prefix, which the pallas expansion
+    # kernel relies on to bound its per-block source window (a B-entry block
+    # then spans <= B gaussians). Entry output is unchanged: zero-count
+    # gaussians never produced entries anyway.
+    depth_key = jnp.where(counts0 > 0, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key)                       # [N] stable
+    # ONE packed gather by `order` replaces 4-5 separate ones (each random
+    # [N]-row gather costs ~ the same regardless of width). Int columns
+    # ride as f32 VALUES (exact below 2^24) — NOT bitcast patterns: under
+    # GSPMD a partitioned gather can lower to select+psum, and TPU
+    # arithmetic flushes denormals, zeroing bitcast small-int payloads.
+    geom = jnp.concatenate([
+        counts0.astype(jnp.float32)[:, None],                   # 0
+        rx0.astype(jnp.float32)[:, None],                       # 1
+        ry0.astype(jnp.float32)[:, None],                       # 2
+        jnp.maximum(rx1 - rx0, 1).astype(jnp.float32)[:, None],  # 3
+    ] + ([payload] if payload is not None else []), axis=1)     # 4:
+    geom_s = jnp.take(geom, order, axis=0)               # [N, 4(+F)]
+    counts = geom_s[:, 0].astype(jnp.int32)
+    total = jnp.sum(counts)
     offsets = jnp.cumsum(counts) - counts                # exclusive
-    table = jnp.stack([offsets, rx0, ry0, jnp.maximum(span_w, 1),
-                       order.astype(jnp.int32)], axis=1)  # [N, 5] i32
-    if payload is not None:
-        f = payload.shape[1]
-        payload_s = geom_s[:, 5:]                        # [N, F] (pre-packed)
-        # int columns ride as f32 VALUES — exact below 2^24 (offsets <
-        # capacity, ids < N) and immune to the denormal-flush hazard that
-        # bitcast patterns have under GSPMD-partitioned gathers
-        assert capacity < (1 << 24), "f32 exact-int range (offsets)"
-        assert n < (1 << 24), \
-            "f32 exact-int range (gids): >16.7M gaussians would silently " \
-            "round entry ids, corrupting kernel routing and gradient " \
-            "segmentation — shard over a mesh instead"
-        comb = jnp.concatenate(
-            [table.astype(jnp.float32), payload_s], axis=1)  # [N, 5+F]
-        comb_rows = jnp.repeat(comb, counts, axis=0,
-                               total_repeat_length=capacity)  # [D, 5+F]
-        rows = comb_rows[:, :5].astype(jnp.int32)
-        exp = comb_rows[:, 5:]                           # [D, F]
-    else:
-        rows = jnp.repeat(table, counts, axis=0,
-                          total_repeat_length=capacity)  # [D, 5]
-        exp = None
+
+    assert capacity < (1 << 24), "f32 exact-int range (offsets)"
+    assert n < (1 << 24), \
+        "f32 exact-int range (gids): >16.7M gaussians would silently " \
+        "round entry ids, corrupting kernel routing and gradient " \
+        "segmentation — shard over a mesh instead"
+
+    # 3. expansion: per-gaussian rows repeated by their touched-tile counts.
+    f = payload.shape[1] if payload is not None else 0
     eidx = jnp.arange(capacity, dtype=jnp.int32)
-    local = eidx - rows[:, 0]
-    sw = rows[:, 3]
-    t_col = rows[:, 1] + local % sw
-    t_row = rows[:, 2] + local // sw
+    if expand == "pallas":
+        from .expand_pallas import BLOCK, ROWS, expand_rows
+        assert payload is not None and f <= ROWS - 6, \
+            f"pallas expansion carries at most {ROWS - 6} payload columns"
+        assert capacity % BLOCK == 0, \
+            f"pallas expansion needs capacity % {BLOCK} == 0"
+        comb16 = jnp.stack(
+            [offsets.astype(jnp.float32),                     # 0 offsets
+             geom_s[:, 0],                                    # 1 counts
+             geom_s[:, 1],                                    # 2 rx0
+             geom_s[:, 2],                                    # 3 ry0
+             geom_s[:, 3],                                    # 4 sw (>=1)
+             order.astype(jnp.float32)]                       # 5 gid
+            + [geom_s[:, 4 + i] for i in range(f)]
+            + [jnp.zeros((n,), jnp.float32)] * (ROWS - 6 - f),
+            axis=0)                                      # [16, N]
+        out16 = expand_rows(comb16, offsets, capacity,
+                            interpret=expand_interpret)  # [16, D]
+        off_e = out16[0].astype(jnp.int32)
+        rx0_e = out16[2].astype(jnp.int32)
+        ry0_e = out16[3].astype(jnp.int32)
+        # zero rows (entries past the total) come out sw=0 — clamp for the
+        # div/mod below; `valid` masks their tile ids to the sentinel
+        sw_e = jnp.maximum(out16[4].astype(jnp.int32), 1)
+        gid_e = out16[5].astype(jnp.int32)
+        exp_cols = tuple(out16[6 + i] for i in range(f))  # F x [D] rows
+    else:
+        # jnp.repeat on whole rows is a monotone row gather; ONE fused
+        # repeat of the int table (as exact f32) plus the payload halves
+        # the expansion traffic vs two separate repeats (measured
+        # 22 + 27 ms -> ~30 ms at 4.2M rows).
+        table = jnp.stack(
+            [offsets.astype(jnp.float32), geom_s[:, 1], geom_s[:, 2],
+             geom_s[:, 3], order.astype(jnp.float32)], axis=1)  # [N, 5]
+        if payload is not None:
+            comb = jnp.concatenate([table, geom_s[:, 4:]], axis=1)
+            comb_rows = jnp.repeat(comb, counts, axis=0,
+                                   total_repeat_length=capacity)  # [D, 5+F]
+            exp_cols = tuple(comb_rows[:, 5 + i] for i in range(f))
+        else:
+            comb_rows = jnp.repeat(table, counts, axis=0,
+                                   total_repeat_length=capacity)
+            exp_cols = None
+        rows = comb_rows[:, :5].astype(jnp.int32)
+        off_e, rx0_e, ry0_e, sw_e, gid_e = (rows[:, 0], rows[:, 1],
+                                            rows[:, 2], rows[:, 3],
+                                            rows[:, 4])
+    local = eidx - off_e
+    t_col = rx0_e + local % sw_e
+    t_row = ry0_e + local // sw_e
     tile_id = t_row * gx + t_col
     valid = eidx < total
     tile_key = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
@@ -160,8 +196,7 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     # (the 12-operand stable sort measures ~9.5 ms at 4.2M rows on v5e —
     # the sort is NOT the expensive part of binning)
     if payload is not None:
-        ops = jax.lax.sort((tile_key, rows[:, 4]) +
-                           tuple(exp[:, i] for i in range(f)),
+        ops = jax.lax.sort((tile_key, gid_e) + exp_cols,
                            dimension=0, is_stable=True, num_keys=1)
         sorted_key, sorted_gid = ops[0], ops[1]
         sorted_cols = tuple(ops[2:])                     # F x [D] (SoA —
@@ -170,7 +205,7 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
         # the target)
     else:
         sorted_key, sorted_gid = jax.lax.sort(
-            (tile_key, rows[:, 4]), dimension=0, is_stable=True, num_keys=1)
+            (tile_key, gid_e), dimension=0, is_stable=True, num_keys=1)
         sorted_cols = None
 
     # 4. per-tile ranges

@@ -532,7 +532,8 @@ def _unpack_bf16_pair(x):
 
 
 def _bin_with_payload_fwd(packets, proj_sg, dims, row_phase):
-    width, height, tile_x, tile_y, dup_capacity, row_stride, bf16 = dims
+    (width, height, tile_x, tile_y, dup_capacity, row_stride, bf16,
+     expand, interp) = dims
     if bf16:
         # stream rgb+invdepth as bf16 pairs: 10 -> 8 payload columns through
         # the expansion and the sort (the HBM-heavy stages). Geometry
@@ -548,7 +549,8 @@ def _bin_with_payload_fwd(packets, proj_sg, dims, row_phase):
         pk = packets
     bins, sorted_cols = bin_gaussians_payload(
         proj_sg, pk, width, height, tile_x, tile_y, dup_capacity,
-        row_phase=row_phase[0], row_stride=row_stride)
+        row_phase=row_phase[0], row_stride=row_stride,
+        expand=expand, expand_interpret=interp)
     if bf16:
         r, g = _unpack_bf16_pair(sorted_cols[6])
         b, invd = _unpack_bf16_pair(sorted_cols[7])
@@ -593,7 +595,8 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
                      max_per_tile: int = 4096, dup_capacity: int = 1 << 20,
                      interpret: bool = False,
                      row_phase=None, row_stride: int = 1,
-                     bf16_features: bool = False):
+                     bf16_features: bool = False,
+                     pallas_expand: bool = False):
     """Render via the Pallas tile kernel; differentiable w.r.t. ``proj``
     through the packet features.
 
@@ -622,8 +625,10 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
     packets = pack_projected(proj)                       # [N, 10]
     bins, cols = _bin_with_payload(
         packets, jax.tree.map(jax.lax.stop_gradient, proj),
-        (width, height, tile_x, tile_y, dup_capacity,
-         row_stride, bool(bf16_features)), row_phase)    # 10 x [D]
+        (width, height, tile_x, tile_y, dup_capacity, row_stride,
+         bool(bf16_features),
+         "pallas" if pallas_expand else "repeat", interpret),
+        row_phase)                                       # 10 x [D]
     # stack along axis 0: each sorted column becomes one contiguous feature
     # row — no [D, 10] <-> [10, D] relayout anywhere on the hot path
     feats = jnp.concatenate(

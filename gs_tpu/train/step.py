@@ -99,7 +99,9 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    chunk=raster.chunk,
                                    tile_block=raster.tile_block,
                                    bf16_features=getattr(
-                                       raster, "bf16_features", False))
+                                       raster, "bf16_features", False),
+                                   pallas_expand=getattr(
+                                       raster, "pallas_expand", False))
         elif mesh is not None:
             masked = mask_sh_rest(params, active_sh_degree)
             from ..parallel.render_mc import render_multichip
@@ -124,7 +126,9 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    chunk=raster.chunk,
                                    tile_block=raster.tile_block,
                                    bf16_features=getattr(
-                                       raster, "bf16_features", False))
+                                       raster, "bf16_features", False),
+                                   pallas_expand=getattr(
+                                       raster, "pallas_expand", False))
         image = out.image
         if use_exposure:
             image = apply_exposure(image, exposure_row)
