@@ -41,6 +41,31 @@ import time
 T_START = time.perf_counter()
 BUDGET_S = float(os.environ.get("GS_BENCH_BUDGET_S", "600"))
 
+import threading
+
+_HEADLINE_OUT = threading.Event()
+
+
+def _watchdog():
+    """Emit SOMETHING parseable before the driver's budget expires.
+
+    Round-2 failure mode: BENCH_r02.json was rc 124 with no output. Round-3
+    adds a second hang mode — the axon tunnel being down makes
+    ``jax.devices()`` block forever. If the headline hasn't been printed by
+    T-minus-30 s, print an error JSON line and hard-exit: an honest zero
+    with an error field beats a timeout with nothing to parse."""
+    if not _HEADLINE_OUT.wait(timeout=max(BUDGET_S - 30.0, 30.0)):
+        print(json.dumps({
+            "metric": "pixels_per_s_fwd_bwd_1080p", "value": 0,
+            "unit": "pixels/s", "vs_baseline": 0,
+            "error": f"no measurement within {BUDGET_S - 30:.0f}s "
+                     "(TPU backend unreachable or compile hang)"}),
+            flush=True)
+        os._exit(2)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
+
 import numpy as np
 
 BASELINE_PIXELS_PER_S = 2.4e7
@@ -270,9 +295,11 @@ def main():
                           "unit": "pixels/s", "vs_baseline": 0,
                           "error": f"binning overflow dups={m['nd']} "
                                    f"maxtile={m['ml']}"}), flush=True)
+        _HEADLINE_OUT.set()
         return
     head = headline_dict(m, device)
     print(json.dumps(head), flush=True)
+    _HEADLINE_OUT.set()
 
     extra = {}
     if os.environ.get("GS_BENCH_STAGES"):

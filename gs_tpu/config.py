@@ -83,6 +83,10 @@ class RasterConfig:
     pallas_expand: bool = False      # duplicate expansion via the block
     # one-hot MXU kernel (ops/expand_pallas.py) instead of jnp.repeat
     # (pallas backend; needs dup_capacity % 512 == 0)
+    exact_cull: bool = False         # drop expanded entries whose tile the
+    # ellipse provably never reaches (alpha < 1/255 over the whole rect)
+    # before the tile sort — shrinks per-tile ranges / max_tile_len at
+    # zero output difference (pallas backend)
 
 
 def asdict(cfg) -> dict:

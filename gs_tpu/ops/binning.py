@@ -26,7 +26,11 @@ from ..core.project import Projected, tile_rect
 
 
 class TileBins(NamedTuple):
-    entry_gid: jnp.ndarray    # [D] original Gaussian index per sorted entry
+    entry_gid: jnp.ndarray    # [D] original Gaussian index per sorted entry;
+    # capacity-padding entries carry the sentinel N. Exact-culled entries
+    # (entry_valid False) keep their REAL gid — required for the run-end
+    # gradient segmentation, which re-sorts cotangents by gid and derives
+    # window positions from the full per-gaussian counts.
     entry_valid: jnp.ndarray  # [D] bool
     tile_start: jnp.ndarray   # [T] int32
     tile_end: jnp.ndarray     # [T] int32
@@ -57,7 +61,8 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
                           tile_x: int, tile_y: int, capacity: int,
                           row_phase=0, row_stride: int = 1,
                           expand: str = "repeat",
-                          expand_interpret: bool = False):
+                          expand_interpret: bool = False,
+                          exact_cull: bool = False):
     """Binning that optionally carries per-gaussian ``payload`` [N, F] columns
     through the expansion and the tile sort, returning them per sorted entry
     as F separate [D] columns. Carrying the payload in the sort replaces the
@@ -72,6 +77,20 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     ``expand``: "repeat" (XLA jnp.repeat row expansion) or "pallas" (the
     block one-hot MXU expansion kernel, ops/expand_pallas.py — requires
     payload, F <= 10, and capacity a multiple of its BLOCK).
+
+    ``exact_cull``: additionally mark expanded entries whose TILE the
+    gaussian cannot actually reach (alpha < 1/255 at every point of the
+    tile rect) as invalid before the tile sort. The expansion is over the
+    cull bbox, whose corner tiles (~20% of entries on isotropic scenes,
+    far more on heavy-tailed ones) the ellipse never touches; those
+    entries sort to the sentinel tail, shrinking every per-tile range and
+    max_tile_len while leaving counts/offsets — and therefore the
+    gradient run-end segmentation — untouched. Exact: the minimum of the
+    conic quadratic over the (1px-dilated) tile rect is closed-form
+    (interior => 0, else min over the four clamped edge minimizers), and
+    q_min > 2 ln(255 op) is precisely the kernel's alpha >= 1/255 skip
+    mask never passing. Requires payload (packet layout of
+    rasterize_jnp.pack_projected: x, y, conic_a/b/c, opacity in cols 0-5).
     """
     gx, gy = tile_grid(width, height, tile_x, tile_y)
     num_tiles = gx * gy
@@ -189,7 +208,54 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     t_row = ry0_e + local // sw_e
     tile_id = t_row * gx + t_col
     valid = eidx < total
+    if exact_cull:
+        assert payload is not None, "exact_cull needs the packet payload"
+        # per-entry exact tile-reach test on flat [D] channels (fuses into
+        # the sort-operand production). Packet cols: 0 x, 1 y, 2 conic_a,
+        # 3 conic_b, 4 conic_c, 5 opacity (rasterize_jnp.pack_projected).
+        ex, ey = exp_cols[0], exp_cols[1]
+        ca = exp_cols[2] + 1e-20
+        cb = exp_cols[3]
+        cc = exp_cols[4] + 1e-20
+        # alpha >= 1/255 anywhere in the tile iff min over the rect of
+        # q = ca dx^2 + 2 cb dx dy + cc dy^2 is <= 2 ln(255 op) — the same
+        # ellipse radius_cull bounds per-axis (core/project.py:300-316);
+        # +-1 px dilation mirrors its rounding guard
+        two_l = 2.0 * jnp.log(jnp.maximum(255.0 * exp_cols[5], 1.0))
+        grow = t_row * row_stride + jnp.asarray(row_phase, jnp.int32)
+        dx0 = (t_col * tile_x - 1).astype(jnp.float32) - ex
+        dx1 = (t_col * tile_x + tile_x).astype(jnp.float32) - ex
+        dy0 = (grow * tile_y - 1).astype(jnp.float32) - ey
+        dy1 = (grow * tile_y + tile_y).astype(jnp.float32) - ey
+
+        def _q(dx, dy):
+            return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+        # rect minimum of the PSD quadratic: 0 at the interior stationary
+        # point (the mean), else attained on an edge, where the 1D
+        # minimizer clamps to the segment
+        cx0 = jnp.clip(-cb * dy0 / ca, dx0, dx1)
+        cx1 = jnp.clip(-cb * dy1 / ca, dx0, dx1)
+        cy0 = jnp.clip(-cb * dx0 / cc, dy0, dy1)
+        cy1 = jnp.clip(-cb * dx1 / cc, dy0, dy1)
+        qmin = jnp.minimum(jnp.minimum(_q(cx0, dy0), _q(cx1, dy1)),
+                           jnp.minimum(_q(dx0, cy0), _q(dx1, cy1)))
+        inside = (dx0 <= 0) & (dx1 >= 0) & (dy0 <= 0) & (dy1 >= 0)
+        qmin = jnp.where(inside, 0.0, qmin)
+        # cull only on a CONFIDENT miss (relative margin absorbs the
+        # kernel's different operation order); NaN compares false => kept
+        culled = qmin > two_l * (1.0 + 1e-4) + 1e-3
+        valid = valid & ~culled
     tile_key = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
+    # capacity-padding entries carry junk gids from the expansion fill —
+    # sentinel them HERE (not downstream) so exact-culled entries can keep
+    # their TRUE gid: they carry exactly-zero cotangents (no tile range
+    # ever covers the sentinel region), and with the real gid they sort
+    # back into their gaussian's run in the backward, keeping the run-end
+    # windows derived from cumsum(gauss_counts) aligned. Sentineling them
+    # instead would shift every later gaussian's window (the same damage
+    # mode as capacity overflow).
+    gid_e = jnp.where(eidx < total, gid_e, n)
 
     # 3. stable sort by tile — entries stay depth-ordered within a tile;
     # payload columns ride along instead of being re-gathered afterwards

@@ -533,7 +533,7 @@ def _unpack_bf16_pair(x):
 
 def _bin_with_payload_fwd(packets, proj_sg, dims, row_phase):
     (width, height, tile_x, tile_y, dup_capacity, row_stride, bf16,
-     expand, interp) = dims
+     expand, interp, exact_cull) = dims
     if bf16:
         # stream rgb+invdepth as bf16 pairs: 10 -> 8 payload columns through
         # the expansion and the sort (the HBM-heavy stages). Geometry
@@ -550,15 +550,17 @@ def _bin_with_payload_fwd(packets, proj_sg, dims, row_phase):
     bins, sorted_cols = bin_gaussians_payload(
         proj_sg, pk, width, height, tile_x, tile_y, dup_capacity,
         row_phase=row_phase[0], row_stride=row_stride,
-        expand=expand, expand_interpret=interp)
+        expand=expand, expand_interpret=interp, exact_cull=exact_cull)
     if bf16:
         r, g = _unpack_bf16_pair(sorted_cols[6])
         b, invd = _unpack_bf16_pair(sorted_cols[7])
         sorted_cols = sorted_cols[:6] + (r, g, b, invd)
     n = packets.shape[0]
-    # invalid (padding) entries carry junk gids from the repeat fill — send
-    # them to the sentinel so they sort past every real run in the backward
-    gid_sent = jnp.where(bins.entry_valid, bins.entry_gid, n)
+    # binning already sentinels capacity-padding gids; exact-culled entries
+    # keep their real gid and contribute exact zeros to their run (their
+    # cotangents are never written — no tile range covers the sentinel
+    # tile region)
+    gid_sent = bins.entry_gid
     return (bins, sorted_cols), (gid_sent, bins.gauss_counts, n, proj_sg,
                                  bins.overflow)
 
@@ -596,7 +598,8 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
                      interpret: bool = False,
                      row_phase=None, row_stride: int = 1,
                      bf16_features: bool = False,
-                     pallas_expand: bool = False):
+                     pallas_expand: bool = False,
+                     exact_cull: bool = False):
     """Render via the Pallas tile kernel; differentiable w.r.t. ``proj``
     through the packet features.
 
@@ -627,7 +630,8 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
         packets, jax.tree.map(jax.lax.stop_gradient, proj),
         (width, height, tile_x, tile_y, dup_capacity, row_stride,
          bool(bf16_features),
-         "pallas" if pallas_expand else "repeat", interpret),
+         "pallas" if pallas_expand else "repeat", interpret,
+         bool(exact_cull)),
         row_phase)                                       # 10 x [D]
     # stack along axis 0: each sorted column becomes one contiguous feature
     # row — no [D, 10] <-> [10, D] relayout anywhere on the hot path

@@ -65,7 +65,8 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
            chunk: int = 64,
            tile_block: int = 0,
            bf16_features: bool = False,
-           pallas_expand: bool = False) -> RenderOutput:
+           pallas_expand: bool = False,
+           exact_cull: bool = False) -> RenderOutput:
     """Render one view. Differentiable w.r.t. ``params`` (and bg).
 
     ``convert_SHs_python`` / ``compute_cov3D_python`` recompute SH shading /
@@ -101,7 +102,8 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
                             max_per_tile=max_per_tile, chunk=chunk,
                             tile_block=tile_block,
                             bf16_features=bf16_features,
-                            pallas_expand=pallas_expand)
+                            pallas_expand=pallas_expand,
+                            exact_cull=exact_cull)
 
 
 def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
@@ -110,7 +112,8 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
                      tile_block: int = 0, row_phase=0,
                      row_stride: int = 1,
                      bf16_features: bool = False,
-                     pallas_expand: bool = False) -> RenderOutput:
+                     pallas_expand: bool = False,
+                     exact_cull: bool = False) -> RenderOutput:
     """``row_phase`` (traced ok) / ``row_stride`` (static): render only the
     global tile rows phase + j*stride into the local height — the
     interleaved multi-chip band assignment (parallel/render_mc.py)."""
@@ -139,7 +142,8 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
             interpret=(backend == "pallas_interpret"),
             row_phase=row_phase, row_stride=row_stride,
             bf16_features=bf16_features,
-            pallas_expand=pallas_expand)
+            pallas_expand=pallas_expand,
+            exact_cull=exact_cull)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return RenderOutput(image=image, invdepth=invd, final_T=finalT,

@@ -101,7 +101,9 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    bf16_features=getattr(
                                        raster, "bf16_features", False),
                                    pallas_expand=getattr(
-                                       raster, "pallas_expand", False))
+                                       raster, "pallas_expand", False),
+                                   exact_cull=getattr(
+                                       raster, "exact_cull", False))
         elif mesh is not None:
             masked = mask_sh_rest(params, active_sh_degree)
             from ..parallel.render_mc import render_multichip
@@ -128,7 +130,9 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    bf16_features=getattr(
                                        raster, "bf16_features", False),
                                    pallas_expand=getattr(
-                                       raster, "pallas_expand", False))
+                                       raster, "pallas_expand", False),
+                                   exact_cull=getattr(
+                                       raster, "exact_cull", False))
         image = out.image
         if use_exposure:
             image = apply_exposure(image, exposure_row)
