@@ -150,7 +150,12 @@ def measure_scene(kind: str, repeats: int) -> dict:
         max_per_tile = int(os.environ["GS_BENCH_MPT"])
     kwargs = dict(active_sh_degree=3, backend="pallas", alive=alive,
                   dup_capacity=dup_capacity, max_per_tile=max_per_tile,
-                  chunk=64)
+                  chunk=64,
+                  # round-3 levers, off by default to keep the driver-run
+                  # HLO warm in .jax_cache — flip via env to measure
+                  exact_cull=bool(os.environ.get("GS_BENCH_EXACT_CULL")),
+                  pallas_expand=bool(os.environ.get("GS_BENCH_PALLAS_EXPAND")),
+                  bf16_features=bool(os.environ.get("GS_BENCH_BF16")))
 
     def loss_fn(p):
         out = render(cam, p, bg, **kwargs)
