@@ -98,9 +98,18 @@ def main(argv=None):
 
     if args.multihost:
         # must run before any other jax call; on TPU pods all arguments are
-        # autodetected from the runtime (SURVEY §2.4: DCN scale-out axis)
+        # autodetected from the runtime (SURVEY §2.4: DCN scale-out axis).
+        # GS_TPU_COORD/GS_TPU_NPROCS/GS_TPU_PROCID override for launchers
+        # without autodetect (and for the two-process CPU integration test).
         import jax
-        jax.distributed.initialize()
+        coord = os.environ.get("GS_TPU_COORD")
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["GS_TPU_NPROCS"]),
+                process_id=int(os.environ["GS_TPU_PROCID"]))
+        else:
+            jax.distributed.initialize()
         if args.mesh in ("0", "1"):
             args.mesh = "auto"
 
@@ -128,8 +137,12 @@ def main(argv=None):
     import jax as _jax
     is_main = _jax.process_index() == 0
 
+    # workers get distinct scratch dirs: Scene dumps cameras.json/input.ply
+    # into model_path on every process, and co-located worker processes (the
+    # CPU integration test; single-machine multi-process) must not collide
     model_cfg.model_path = prepare_output_dir(model_cfg) if is_main \
-        else (model_cfg.model_path or "./output/worker")
+        else ((model_cfg.model_path or "./output/worker")
+              + f"_w{_jax.process_index()}")
     if is_main:
         save_config(model_cfg.model_path, model_cfg, pipe, opt)
 
@@ -140,6 +153,12 @@ def main(argv=None):
             tb_writer = SummaryWriter(model_cfg.model_path)
         except Exception:
             print("Tensorboard not available: not logging progress")
+
+    # the Scene camera shuffle uses the python global RNG; every process
+    # must agree on the order or sharded multi-host training silently
+    # diverges (each host would compute gradients for a different camera)
+    import random as _random
+    _random.seed(args.seed)
 
     print(f"Optimizing {model_cfg.model_path}")
     scene = Scene(model_cfg.source_path, model_cfg.model_path,
@@ -171,6 +190,15 @@ def main(argv=None):
         initial_capacity=args.initial_capacity or None, mesh=mesh)
 
     viewer = None
+    if _jax.process_count() > 1 and not args.disable_viewer:
+        # the viewer would run on process 0 only, and its block-length cap
+        # (block_cap below) would make process 0 dispatch different scan
+        # shapes than the workers — SPMD divergence. Interactive viewing of
+        # a multi-host run goes through saved snapshots instead.
+        if is_main:
+            print("Viewer disabled under --multihost (SPMD block shapes "
+                  "must agree across hosts)")
+        args.disable_viewer = True
     if not args.disable_viewer and is_main:
         try:
             from ..viewer.server import ViewerServer
@@ -230,7 +258,10 @@ def main(argv=None):
                 # is SPMD-synchronized, so all hosts reach this iteration);
                 # only process 0 touches the filesystem below
                 from jax.experimental import multihost_utils
-                state = multihost_utils.process_allgather(state)
+                # tiled=True: the state leaves are GLOBAL arrays sharded over
+                # the cross-process mesh; gather them to their full global
+                # value (untiled mode only supports fully-addressable inputs)
+                state = multihost_utils.process_allgather(state, tiled=True)
         if i in save_at and is_main:
             print(f"\n[ITER {i}] Saving Gaussians")
             scene.save(i, state.params, np.asarray(state.alive),
