@@ -61,6 +61,12 @@ def main(argv=None):
                              "dispatch (default on TPU)")
     parser.add_argument("--no_block_scan", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile", type=str, default="",
+                        help="directory for a jax.profiler trace "
+                             "(TensorBoard-loadable; XLA op/HBM timeline). "
+                             "Tracing starts once training is warm and "
+                             "covers --profile_steps iterations")
+    parser.add_argument("--profile_steps", type=int, default=50)
     parser.add_argument("--initial_capacity", type=int, default=0,
                         help="starting gaussian capacity (0 = auto; set "
                              "generously to avoid growth re-jits when "
@@ -228,7 +234,29 @@ def main(argv=None):
             return None
         return min(64, max(1, int(rate[2])))
 
+    # [start_iteration_or_None, active] — trace a warm window of the run so
+    # the capture shows steady-state steps, not the first compile
+    prof = [None, False]
+
+    def _profile_tick(i):
+        if not args.profile or not is_main:
+            return
+        if not prof[1] and prof[0] is None and i >= start_iter + 2:
+            try:
+                _jax.profiler.start_trace(args.profile)
+                prof[0], prof[1] = i, True
+                print(f"[profile] tracing {args.profile_steps} iterations "
+                      f"to {args.profile}")
+            except Exception as e:
+                print(f"[profile] unavailable: {e}")
+                prof[0] = -1
+        elif prof[1] and i >= prof[0] + args.profile_steps:
+            _jax.profiler.stop_trace()
+            prof[1] = False
+            print(f"[profile] trace written to {args.profile}")
+
     def on_step(i, metrics, tr):
+        _profile_tick(i)
         if viewer is not None:
             viewer.poll()
             t = time.perf_counter()
@@ -306,6 +334,10 @@ def main(argv=None):
                             boundary_iterations=boundaries,
                             block_cap=block_cap)
     print(f"\nTraining complete ({elapsed:.1f}s).")
+    if prof[1]:  # short runs: trace window extends to the end of training
+        _jax.profiler.stop_trace()
+        prof[1] = False
+        print(f"[profile] trace written to {args.profile}")
     if viewer is not None:
         viewer.close()
 

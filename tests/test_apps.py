@@ -90,6 +90,23 @@ def test_checkpoint_resume(tiny_scene, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_profile_trace(tiny_scene, tmp_path):
+    """--profile captures a jax.profiler trace of warm training steps
+    (SURVEY §5 tracing row: the TPU-native replacement for the reference's
+    paired cuda.Event iter_time, train.py:60-61,87,139)."""
+    from gs_tpu.apps import train as train_app
+    model = str(tmp_path / "model")
+    prof_dir = str(tmp_path / "trace")
+    train_app.main(_train_args(tiny_scene, model, iters=6) +
+                   ["--profile", prof_dir, "--profile_steps", "2"])
+    hits = []
+    for dirpath, _dirnames, filenames in os.walk(prof_dir):
+        hits += [os.path.join(dirpath, f) for f in filenames
+                 if f.endswith((".xplane.pb", ".trace.json.gz"))]
+    assert hits, f"no trace artifacts under {prof_dir}"
+    assert all(os.path.getsize(h) > 0 for h in hits)
+
+
 def test_viewer_roundtrip(tiny_scene, tmp_path):
     """Server renders frames for a protocol-speaking client."""
     import jax.numpy as jnp
