@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-3 measurement matrix, armed while the axon tunnel is down.
+# Probes the tunnel every 2 min (bounded: gives up after MAX_WAIT_S); when it
+# comes up, measures the round-3 levers and prewarms .jax_cache so the
+# driver's bench run is cache-served. Results land in /tmp/r3_measure/.
+set -u
+cd /root/repo
+OUT=/tmp/r3_measure
+mkdir -p $OUT
+MAX_WAIT_S=${MAX_WAIT_S:-21600}
+t0=$(date +%s)
+while true; do
+  timeout 240 python -c "import jax; jax.devices()" >/dev/null 2>&1 && break
+  [ $(( $(date +%s) - t0 )) -gt "$MAX_WAIT_S" ] && { echo "gave up $(date)" > $OUT/STATUS; exit 1; }
+  sleep 120
+done
+echo "tunnel up $(date)" > $OUT/STATUS
+run() {  # run <name> <env...> — one bench pass, headline only
+  local name=$1; shift
+  env "$@" GS_BENCH_NO_HEAVY=1 GS_BENCH_BUDGET_S=540 timeout 600 \
+    python bench.py > $OUT/bench_$name.json 2> $OUT/bench_$name.err
+  echo "$name done $(date)" >> $OUT/STATUS
+}
+run base GS_BENCH_DUMMY=0
+run cull GS_BENCH_EXACT_CULL=1
+run expand GS_BENCH_PALLAS_EXPAND=1
+run cull_expand GS_BENCH_EXACT_CULL=1 GS_BENCH_PALLAS_EXPAND=1
+timeout 900 python scripts/probe_packed_tpu.py > $OUT/probe_packed.log 2>&1
+echo "packed done $(date)" >> $OUT/STATUS
+# final: the exact driver invocation (incl. heavy tail) to prewarm everything
+timeout 900 python bench.py > $OUT/bench_driver_shape.json 2> $OUT/bench_driver_shape.err
+echo "ALL DONE $(date)" >> $OUT/STATUS
