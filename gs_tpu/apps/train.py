@@ -118,6 +118,13 @@ def main(argv=None):
             jax.distributed.initialize()
         if args.mesh in ("0", "1"):
             args.mesh = "auto"
+        # establish the cross-process collective context NOW, while every
+        # process sits at the same program point: the transport rendezvous
+        # (gloo on CPU) has a ~30 s window, and deferring it to the first
+        # real collective — which fires only after minutes of per-process
+        # compile skew — makes that window easy to miss under load
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("gs_tpu:init")
 
     if args.detect_anomaly:
         # ref: train.py:253,269 (torch.autograd.set_detect_anomaly)
