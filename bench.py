@@ -71,9 +71,15 @@ import numpy as np
 BASELINE_PIXELS_PER_S = 2.4e7
 WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 500_000
+if os.environ.get("GS_BENCH_WH"):       # tiny-shape smoke (CPU CI)
+    WIDTH, HEIGHT = map(int, os.environ["GS_BENCH_WH"].split("x"))
+if os.environ.get("GS_BENCH_N"):
+    N_GAUSS = int(os.environ["GS_BENCH_N"])
 CS = 128            # kernel chunk size (ops/rasterize_pallas.CS)
 PEAK_BF16_FLOPS = 197e12   # v5e MXU peak; MFU is reported on this basis
 SCAN_STEPS = 4      # steps per dispatch (production --block_scan shape)
+# CPU smoke: pallas must run in interpret mode off-TPU
+BACKEND = "pallas_interpret" if os.environ.get("GS_BENCH_INTERPRET") else "pallas"
 
 # known-good static buffer sizes for the two scenes (measured; the step
 # itself reports overflow so a regression cannot silently truncate)
@@ -116,8 +122,8 @@ def build_scene(kind: str = "uniform"):
         ], axis=1))
     pts = np.concatenate(pts, axis=0)
     cols = rng.uniform(0, 1, (N_GAUSS, 3))
-    params, alive = create_from_pcd(pts, cols, sh_degree=3,
-                                    capacity=1 << 19)
+    cap = 1 << max(10, math.ceil(math.log2(N_GAUSS * 1.05)))
+    params, alive = create_from_pcd(pts, cols, sh_degree=3, capacity=cap)
     # create_from_pcd's 3-NN init makes splats tile the volume wall-to-wall;
     # trained scenes have much smaller splats relative to spacing — shrink so
     # per-pixel overdraw lands in the realistic 10-40 range
@@ -148,7 +154,7 @@ def measure_scene(kind: str, repeats: int) -> dict:
         dup_capacity = int(os.environ["GS_BENCH_CAP"])
     if os.environ.get("GS_BENCH_MPT"):
         max_per_tile = int(os.environ["GS_BENCH_MPT"])
-    kwargs = dict(active_sh_degree=3, backend="pallas", alive=alive,
+    kwargs = dict(active_sh_degree=3, backend=BACKEND, alive=alive,
                   dup_capacity=dup_capacity, max_per_tile=max_per_tile,
                   chunk=64,
                   # round-3 levers, off by default to keep the driver-run
@@ -190,6 +196,78 @@ def measure_scene(kind: str, repeats: int) -> dict:
     dt = min(one_slope() for _ in range(max(repeats, 1))) / SCAN_STEPS
     return dict(dt=dt, nd=nd, ml=ml, overflow=overflow,
                 dup_capacity=dup_capacity, max_per_tile=max_per_tile)
+
+
+def measure_train_step(kind: str, repeats: int) -> dict:
+    """GS_BENCH_TRAIN=1: slope-time the REAL production training step — the
+    packed-state channel-major layout, L1+SSIM loss, per-group Adam with LR
+    schedule, densification-stat accumulation — dispatched exactly as
+    ``--block_scan`` training does (make_train_steps_scan, SCAN_STEPS/block).
+    This is the number comparable to the reference's it/s (BASELINE.md's
+    27 min/30k includes its full step, not just render+grad)."""
+    import jax
+    import jax.numpy as jnp
+    from gs_tpu.config import (ModelConfig, OptimizationConfig,
+                               PipelineConfig, RasterConfig)
+    from gs_tpu.core.camera import make_camera, focal2fov, stack_cameras
+    from gs_tpu.models.gaussian_model import init_state
+    from gs_tpu.models.packed_state import pack_state
+    from gs_tpu.train.step import make_train_step, make_train_steps_scan
+
+    params, alive = build_scene(kind)
+    fovx = math.radians(70.0)
+    fovy = focal2fov(WIDTH / (2 * math.tan(fovx / 2)), HEIGHT)
+    cam = make_camera(np.eye(3), np.zeros(3), fovx, fovy, WIDTH, HEIGHT)
+    cams = stack_cameras([cam])
+    images = jnp.zeros((1, 3, HEIGHT, WIDTH), jnp.float32)
+    zeros1 = jnp.zeros((1,), jnp.float32)
+
+    dup_capacity, max_per_tile = CAPS[kind]
+    if os.environ.get("GS_BENCH_CAP"):
+        dup_capacity = int(os.environ["GS_BENCH_CAP"])
+    if os.environ.get("GS_BENCH_MPT"):
+        max_per_tile = int(os.environ["GS_BENCH_MPT"])
+    raster = RasterConfig(
+        backend=BACKEND, dup_capacity=dup_capacity,
+        max_per_tile=max_per_tile, chunk=64,
+        exact_cull=bool(os.environ.get("GS_BENCH_EXACT_CULL")),
+        pallas_expand=bool(os.environ.get("GS_BENCH_PALLAS_EXPAND")),
+        bf16_features=bool(os.environ.get("GS_BENCH_BF16")))
+    step = make_train_step(
+        OptimizationConfig(iterations=30_000), ModelConfig(),
+        PipelineConfig(), raster, cams, spatial_lr_scale=1.0,
+        max_sh_degree=3, packed=True)
+    scan = make_train_steps_scan(step, use_alpha=False, use_depth=False)
+    state0 = pack_state(init_state(params, alive, num_images=1))
+
+    idxs = jnp.zeros((SCAN_STEPS,), jnp.int32)
+    keys = jax.random.split(jax.random.key(0), SCAN_STEPS)
+    valid = jnp.ones((SCAN_STEPS,), bool)
+
+    def block(s, it):
+        return scan(s, images, zeros1, zeros1, zeros1, zeros1,
+                    jnp.int32(it), idxs, keys, valid)
+
+    st, met = block(state0, 0)           # compile + warm
+    overflow = bool(met.overflow)
+
+    def run(k):
+        s, it = state0, 0
+        for _ in range(k):
+            s, m = block(s, it)
+            it += SCAN_STEPS
+        return float(m.loss)
+
+    def one_slope():
+        t0 = time.perf_counter(); run(1); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); run(3); t2 = time.perf_counter() - t0
+        return (t2 - t1) / 2
+    dt = min(one_slope() for _ in range(max(repeats, 1))) / SCAN_STEPS
+    px = WIDTH * HEIGHT / dt
+    return {"sec_per_train_step": round(dt, 4),
+            "pixels_per_s": round(px, 1),
+            "vs_baseline": round(px / BASELINE_PIXELS_PER_S, 4),
+            "overflow": overflow, "layout": "packed"}
 
 
 def headline_dict(m: dict, device: str) -> dict:
@@ -236,7 +314,7 @@ def stage_probes(params, alive, dup_capacity, max_per_tile, dt) -> dict:
     fovy = focal2fov(WIDTH / (2 * math.tan(fovx / 2)), HEIGHT)
     cam = make_camera(np.eye(3), np.zeros(3), fovx, fovy, WIDTH, HEIGHT)
     bg = jnp.zeros(3)
-    kwargs = dict(active_sh_degree=3, backend="pallas", alive=alive,
+    kwargs = dict(active_sh_degree=3, backend=BACKEND, alive=alive,
                   dup_capacity=dup_capacity, max_per_tile=max_per_tile,
                   chunk=64)
 
@@ -307,6 +385,11 @@ def main():
     _HEADLINE_OUT.set()
 
     extra = {}
+    if os.environ.get("GS_BENCH_TRAIN"):
+        try:
+            extra["train_step"] = measure_train_step("uniform", repeats)
+        except Exception as e:
+            extra["train_step"] = {"error": repr(e)}
     if os.environ.get("GS_BENCH_STAGES"):
         params, alive = build_scene("uniform")
         extra["stages"] = stage_probes(params, alive, m["dup_capacity"],

@@ -25,6 +25,10 @@ run base GS_BENCH_DUMMY=0
 run cull GS_BENCH_EXACT_CULL=1
 run expand GS_BENCH_PALLAS_EXPAND=1
 run cull_expand GS_BENCH_EXACT_CULL=1 GS_BENCH_PALLAS_EXPAND=1
+# the REAL production step (packed layout + ssim loss + Adam) — the number
+# comparable to the reference's it/s
+run train GS_BENCH_TRAIN=1
+run train_cull GS_BENCH_TRAIN=1 GS_BENCH_EXACT_CULL=1
 timeout 900 python scripts/probe_packed_tpu.py > $OUT/probe_packed.log 2>&1
 echo "packed done $(date)" >> $OUT/STATUS
 # final: the exact driver invocation (incl. heavy tail) to prewarm everything
