@@ -38,17 +38,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def state_shardings(state, mesh: Mesh):
-    """Sharding pytree for a TrainState: [C, ...] arrays on the gauss axis,
-    everything else replicated. Capacity must divide the mesh size."""
+    """Sharding pytree for a TrainState or PackedState: arrays with a
+    capacity-sized axis shard on the gauss axis (axis 0 for the reference-
+    shaped [C, ...] leaves, axis 1 for the channel-major [R, C] packed
+    blocks), everything else replicated. Capacity must divide the mesh
+    size."""
     c = state.capacity
     n = mesh.devices.size
     assert c % n == 0, f"capacity {c} not divisible by mesh size {n}"
     gs = gauss_sharding(mesh)
     rep = replicated(mesh)
+    col = NamedSharding(mesh, P(None, GAUSS_AXIS))
 
     def pick(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == c:
+        if not hasattr(x, "ndim") or x.ndim < 1:
+            return rep
+        if x.shape[0] == c:
             return gs
+        if x.ndim == 2 and x.shape[1] == c:
+            return col
         return rep
 
     return jax.tree.map(pick, state)

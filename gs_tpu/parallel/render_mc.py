@@ -47,13 +47,21 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
                      backend: str = "pallas",
                      dup_capacity: int = 1 << 18,
                      max_per_tile: int = 1024,
-                     chunk: int = 64) -> RenderOutput:
+                     chunk: int = 64,
+                     packed_sh_degree: Optional[int] = None) -> RenderOutput:
     """Render one view with gaussians sharded over ``mesh`` (axis 'gauss').
 
     ``dup_capacity`` is PER DEVICE (each band bins only the entries that
     touch it). ``mean2d_tap`` is the densification gradient tap added to the
     sharded screen-space means. Returns a replicated image and per-gaussian
     stats sharded like the parameters.
+
+    ``packed_sh_degree``: when set, ``params`` is the channel-major packed
+    [R, C] block (core/packed.py, sharded on axis 1) of that SH degree and
+    each device preprocesses its column shard via ``preprocess_packed`` —
+    the training-hot-path layout under the mesh. SH-degree masking
+    (mask_sh_rows) happens OUTSIDE (elementwise, sharding-preserving),
+    exactly like mask_sh_rest on the tree path.
     """
     k = mesh.devices.size
     width, height = camera.width, camera.height
@@ -65,18 +73,28 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
 
     gspec = P(GAUSS_AXIS)
     rspec = P()
+    pspec = P(None, GAUSS_AXIS) if packed_sh_degree is not None else gspec
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(gspec, gspec if alive is not None else rspec,
+        in_specs=(pspec, gspec if alive is not None else rspec,
                   gspec if mean2d_tap is not None else rspec, rspec),
         out_specs=(rspec, rspec, rspec, gspec, gspec, rspec, rspec, rspec,
                    rspec),
         check_vma=False)
     def fn(p_shard, alive_shard, tap_shard, bg_in):
-        proj = preprocess(p_shard, camera, active_sh_degree=active_sh_degree,
-                          antialiasing=antialiasing,
-                          alive=alive_shard if alive is not None else None)
+        if packed_sh_degree is not None:
+            from ..core.project import preprocess_packed
+            proj = preprocess_packed(
+                p_shard, camera, sh_degree=packed_sh_degree,
+                active_sh_degree=active_sh_degree,
+                antialiasing=antialiasing,
+                alive=alive_shard if alive is not None else None)
+        else:
+            proj = preprocess(p_shard, camera,
+                              active_sh_degree=active_sh_degree,
+                              antialiasing=antialiasing,
+                              alive=alive_shard if alive is not None else None)
         if mean2d_tap is not None:
             proj = proj._replace(mean2d=proj.mean2d + tap_shard)
 
@@ -128,7 +146,8 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
         finalT = reinterleave(out.final_T, 0)
         # per-gaussian stats (non-differentiable): the geometry is identical
         # on every device after the all-gather, so just slice the local shard
-        n_local = p_shard.xyz.shape[0]
+        n_local = (p_shard.shape[1] if packed_sh_degree is not None
+                   else p_shard.xyz.shape[0])
         geom_sg = jax.lax.stop_gradient(geom_full)
         i0 = jax.lax.axis_index(GAUSS_AXIS) * n_local
         geom_loc = jax.lax.dynamic_slice_in_dim(geom_sg, i0, n_local, axis=0)

@@ -87,13 +87,13 @@ class Trainer:
         state over devices and renders via the shard_map multi-chip path.
 
         ``packed`` stores the training state in the channel-major [R, C]
-        layout (models/packed_state.py) — measured ~TPU-layout win on the
-        per-step hot path. Defaults to on whenever no mesh is used."""
+        layout (models/packed_state.py) — the TPU-layout win on the
+        per-step hot path. Default on; under a mesh the block shards on
+        its column (gauss) axis and renders via the packed shard_map
+        path (parallel/render_mc.py packed_sh_degree)."""
         assert len(train_cams) > 0
         self.mesh = mesh
-        self.packed = (mesh is None) if packed is None else packed
-        assert not (self.packed and mesh is not None), \
-            "packed layout is single-chip for now"
+        self.packed = True if packed is None else packed
         self.train_cams = _normalize_resolutions(list(train_cams))
         self.test_cams = list(test_cams)
         self.model_cfg = model_cfg

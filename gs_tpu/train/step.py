@@ -75,7 +75,6 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
     use_exposure = model_cfg.train_test_exp
     bg_static = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
     if packed:
-        assert mesh is None, "packed mode is single-chip for now"
         from ..core.packed import layout as packed_layout, mask_sh_rows
         from ..core.project import preprocess_packed
         from ..models.packed_state import (adam_update_packed,
@@ -85,7 +84,19 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
     def loss_fn(params, tap, exposure_row, cam, gt_image, alpha_mask,
                 invdepth_gt, depth_mask, depth_ok, active_sh_degree,
                 iteration, bg, state_alive):
-        if packed:
+        if packed and mesh is not None:
+            masked = mask_sh_rows(params, lay, active_sh_degree)
+            from ..parallel.render_mc import render_multichip
+            out = render_multichip(masked, cam, bg, mesh,
+                                   active_sh_degree=max_sh_degree,
+                                   antialiasing=pipe.antialiasing,
+                                   alive=state_alive, mean2d_tap=tap,
+                                   backend=raster.backend,
+                                   dup_capacity=raster.dup_capacity,
+                                   max_per_tile=raster.max_per_tile,
+                                   chunk=raster.chunk,
+                                   packed_sh_degree=max_sh_degree)
+        elif packed:
             masked = mask_sh_rows(params, lay, active_sh_degree)
             proj = preprocess_packed(masked, cam, sh_degree=max_sh_degree,
                                      active_sh_degree=max_sh_degree,
