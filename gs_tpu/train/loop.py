@@ -340,9 +340,14 @@ class Trainer:
         """Compile the block-scan executable for ``new_cap`` in a background
         thread (XLA compiles of a grown tier cost minutes on TPU via the
         remote compile helper; training continues at the current tier
-        meanwhile). Only for single-chip block-scan — the jit path under a
-        mesh carries input shardings an abstract lowering here would lose."""
-        if (not self.aot_next_tier or self.mesh is not None
+        meanwhile). Under a mesh the grown state's shardings are attached to
+        the abstract specs so the lowering partitions exactly like the jit
+        path. Multi-process runs are excluded: each process would finish its
+        background compile at a different time and the ready-or-fallback
+        swap in _dispatch_scan is a per-process decision — a cross-host
+        agreement protocol belongs with the coordinator, not here."""
+        if (not self.aot_next_tier
+                or (self.mesh is not None and jax.process_count() > 1)
                 or new_cap in self._aot_pending or new_cap in self._aot_scan
                 or self._scan_step is None or self._scan_arg_spec is None):
             return
@@ -353,6 +358,13 @@ class Trainer:
             from ..models.gaussian_model import grow_capacity as grow_fn
         state_spec = jax.eval_shape(partial(grow_fn, new_capacity=new_cap),
                                     self.state)
+        if self.mesh is not None:
+            from ..parallel.mesh import state_shardings
+            shards = state_shardings(state_spec, self.mesh)
+            state_spec = jax.tree.map(
+                lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype,
+                                                  sharding=s),
+                state_spec, shards)
         spec = (state_spec,) + tuple(self._scan_arg_spec[1:])
         scan = self._scan_step
 

@@ -325,3 +325,56 @@ def test_packed_step_mesh_equals_single(scene):
                                np.asarray(um.grad_accum), atol=1e-5)
     # the sharded result keeps its column sharding
     assert "gauss" in str(stm.packed.sharding.spec)
+
+
+def test_aot_tier_under_mesh(scene):
+    """The background AOT tier compile now works under a mesh (single
+    process): the grown state's shardings are attached to the abstract
+    lowering specs, and the dispatch after growth uses the compiled
+    executable with results identical to the lazily-retraced jit path."""
+    from gs_tpu.data.camera_utils import LoadedCamera
+    from gs_tpu.data.dataset_readers import CameraInfo
+    from gs_tpu.models.packed_state import grow_capacity_packed
+    from gs_tpu.parallel.mesh import shard_state
+
+    params, cam, bg = scene
+    mesh = make_mesh(8)
+
+    def mk(seed, m):
+        rng = np.random.default_rng(seed)
+        cams = []
+        for i in range(2):
+            info = CameraInfo(uid=i, R=np.eye(3), T=np.zeros(3), fovx=1.0,
+                              fovy=0.8, image_path="", image_name=f"v{i}",
+                              width=cam.width, height=cam.height)
+            cams.append(LoadedCamera(
+                camera=cam, info=info,
+                image=rng.uniform(0, 1, (3, cam.height, cam.width)
+                                  ).astype(np.float32),
+                alpha_mask=np.ones((1, cam.height, cam.width), np.float32),
+                invdepth=None, depth_mask=None, depth_reliable=False))
+        return _tiny_trainer(cams, m, 128)
+
+    tr = mk(33, mesh)
+    ctl = mk(33, mesh)
+    ctl.aot_next_tier = False
+    for t in (tr, ctl):
+        t.run_block(2)
+    new_cap = tr.state.capacity * 4
+    tr._spawn_aot(new_cap)
+    tr._join_aot()
+    assert new_cap in tr._aot_scan, "mesh AOT compile did not land"
+
+    calls = []
+    orig = tr._aot_scan[new_cap]
+    tr._aot_scan[new_cap] = lambda *a: (calls.append(1), orig(*a))[1]
+    for t in (tr, ctl):
+        t.state = shard_state(grow_capacity_packed(t.state, new_cap), mesh)
+        t.run_block(2)
+    assert calls, "grown mesh dispatch bypassed the AOT executable"
+    assert "gauss" in str(tr.state.packed.sharding.spec)
+    p1, p2 = tr.state.params, ctl.state.params
+    for k in p1._fields:
+        np.testing.assert_allclose(np.asarray(getattr(p1, k)),
+                                   np.asarray(getattr(p2, k)),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
