@@ -270,6 +270,50 @@ def measure_train_step(kind: str, repeats: int) -> dict:
             "overflow": overflow, "layout": "packed"}
 
 
+def measure_render_fps(kind: str, repeats: int) -> dict:
+    """GS_BENCH_FPS=1: forward-only novel-view rendering throughput — the
+    number behind the reference's ">= 30 fps at 1080p" viewer claim
+    (BASELINE.md, README.md:14). No-grad renders skip the transmittance
+    checkpoint entirely (rasterize_pallas compiles without it)."""
+    import jax
+    import jax.numpy as jnp
+    from gs_tpu.core.camera import make_camera, focal2fov
+    from gs_tpu.render import render
+
+    params, alive = build_scene(kind)
+    fovx = math.radians(70.0)
+    fovy = focal2fov(WIDTH / (2 * math.tan(fovx / 2)), HEIGHT)
+    dup_capacity, max_per_tile = CAPS[kind]
+
+    @jax.jit
+    def frame(tx):
+        # camera jitter rides as a traced translation so every frame is a
+        # distinct dispatch (identical calls can be cache-served, CLAUDE.md)
+        cam = make_camera(np.eye(3), np.zeros(3), fovx, fovy, WIDTH, HEIGHT)
+        out = render(cam, params._replace(xyz=params.xyz + tx * 1e-30),
+                     jnp.zeros(3), active_sh_degree=3, backend=BACKEND,
+                     alive=alive, dup_capacity=dup_capacity,
+                     max_per_tile=max_per_tile, chunk=64)
+        return jnp.sum(out.image) * 1e-30 + tx + 1
+
+    frame(jnp.float32(0.0))
+
+    def run(k):
+        x = jnp.float32(0.0)
+        for _ in range(k):
+            x = frame(x)
+        return float(x)
+
+    def one_slope():
+        t0 = time.perf_counter(); run(1); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); run(4); t2 = time.perf_counter() - t0
+        return (t2 - t1) / 3
+    dt = min(one_slope() for _ in range(max(repeats, 1)))
+    return {"fps_1080p": round(1.0 / dt, 2),
+            "sec_per_frame": round(dt, 4),
+            "meets_30fps": dt <= 1 / 30}
+
+
 def headline_dict(m: dict, device: str) -> dict:
     dt = m["dt"]
     pixels_per_s = WIDTH * HEIGHT / dt
@@ -385,6 +429,11 @@ def main():
     _HEADLINE_OUT.set()
 
     extra = {}
+    if os.environ.get("GS_BENCH_FPS"):
+        try:
+            extra["render_fps"] = measure_render_fps("uniform", repeats)
+        except Exception as e:
+            extra["render_fps"] = {"error": repr(e)}
     if os.environ.get("GS_BENCH_TRAIN"):
         try:
             extra["train_step"] = measure_train_step("uniform", repeats)

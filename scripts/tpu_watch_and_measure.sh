@@ -29,6 +29,8 @@ run cull_expand GS_BENCH_EXACT_CULL=1 GS_BENCH_PALLAS_EXPAND=1
 # comparable to the reference's it/s
 run train GS_BENCH_TRAIN=1
 run train_cull GS_BENCH_TRAIN=1 GS_BENCH_EXACT_CULL=1
+# forward-only novel-view fps (the reference's >=30fps@1080p viewer claim)
+run fps GS_BENCH_FPS=1
 timeout 900 python scripts/probe_packed_tpu.py > $OUT/probe_packed.log 2>&1
 echo "packed done $(date)" >> $OUT/STATUS
 # final: the exact driver invocation (incl. heavy tail) to prewarm everything
