@@ -25,10 +25,44 @@ from ..io_live.pointcloud import (estimate_heading, rotation_x, rotation_z,
 from ..io_live.stream import read_stream_file
 
 
+def load_frames(args) -> list:
+    """``.gstream`` recording or a real ROS ``.bag`` -> list[Frame]."""
+    if args.input.endswith(".bag") or args.bag_format != "auto":
+        from ..io_live import rosbag
+        fmt = args.bag_format
+        if fmt == "auto":
+            topics = {bm.topic for bm in
+                      rosbag.read_bag_messages(args.input)}
+            fmt = ("visual_merged" if args.merged_topic in topics
+                   else "orb_topics")
+            print(f"bag topics: {sorted(topics)} -> format {fmt}")
+        if fmt == "visual_merged":
+            return rosbag.frames_from_visual_merged(
+                args.input, topic=args.merged_topic)
+        return rosbag.frames_from_bag(
+            args.input, image_topic=args.image_topic,
+            pose_topic=args.pose_topic, info_topic=args.info_topic,
+            points_topic=args.points_topic)
+    return read_stream_file(args.input)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Stream -> COLMAP converter")
-    parser.add_argument("--input", required=True)
+    parser.add_argument("--input", required=True,
+                        help=".gstream recording or a ROS .bag file")
     parser.add_argument("--output", required=True)
+    parser.add_argument("--bag_format",
+                        choices=["auto", "visual_merged", "orb_topics"],
+                        default="auto",
+                        help="bag layout: one /Visual_Merged topic "
+                             "(ref: convert_visual_merged_msg.py) or "
+                             "separate image/pose/cloud topics "
+                             "(ref: convert_orb_topic.py)")
+    parser.add_argument("--merged_topic", default="/Visual_Merged")
+    parser.add_argument("--image_topic", default="/camera/color/image_raw")
+    parser.add_argument("--pose_topic", default="/orb_slam3/camera_pose")
+    parser.add_argument("--info_topic", default="/camera/color/camera_info")
+    parser.add_argument("--points_topic", default="/orb_slam3/all_points")
     parser.add_argument("--every", type=int, default=4,
                         help="keep every Nth frame (ref: convert_orb_topic.py:137)")
     parser.add_argument("--align_heading", action="store_true",
@@ -42,7 +76,7 @@ def main(argv=None):
     parser.add_argument("--max_points", type=int, default=2_000_000)
     args = parser.parse_args(argv)
 
-    frames = read_stream_file(args.input)
+    frames = load_frames(args)
     if not frames:
         raise SystemExit("empty stream file")
     frames = frames[::args.every]
