@@ -278,6 +278,9 @@ def main(argv=None):
             tb_writer.add_scalar("train_loss_patches/l1_loss",
                                  float(metrics.l1), i)
             tb_writer.add_scalar("total_points", int(tr.state.num_alive), i)
+            if tr.overflow_exhausted:
+                tb_writer.add_scalar("overflow_replay_exhausted",
+                                     tr.overflow_exhausted, i)
         if not args.quiet and i % 100 == 0:
             its = (i - last_log[1]) / max(now - last_log[0], 1e-9)
             last_log[0], last_log[1] = now, i
