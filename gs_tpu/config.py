@@ -87,6 +87,10 @@ class RasterConfig:
     # ellipse provably never reaches (alpha < 1/255 over the whole rect)
     # before the tile sort — shrinks per-tile ranges / max_tile_len at
     # zero output difference (pallas backend)
+    visible_capacity: int = 0        # multi-chip (--mesh) only: per-device
+    # cap on packets entering the all-gather; each device compacts its
+    # shard visible-first so ICI traffic is O(visible), not O(capacity).
+    # 0 = gather the full padded shard; overflow grows it like dup_capacity
 
 
 def asdict(cfg) -> dict:

@@ -71,9 +71,11 @@ def _expand_kernel(g0_ref, comb_hbm, out_ref, sbuf, sem):
     s = sbuf[slot]                                     # [ROWS, GWIN]
     off = s[0:1, :]                                    # [1, GWIN]
     cnt = s[1:2, :]
-    # e_i on SUBLANES, offsets on LANES: both in natural orientation
-    e = (jax.lax.broadcasted_iota(jnp.float32, (BLOCK, 1), 0)
-         + (b * BLOCK).astype(jnp.float32))            # [BLOCK, 1]
+    # e_i on SUBLANES, offsets on LANES: both in natural orientation.
+    # iota must be INTEGER-typed for Mosaic (tpu.iota rejects f32 results —
+    # the r3 interpret-only blind spot); convert after the add
+    e = (jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
+         + b * BLOCK).astype(jnp.float32)              # [BLOCK, 1]
     w = ((off <= e) & (e < off + cnt)).astype(jnp.float32)   # [BLOCK, GWIN]
     # out[r, i] = sum_g s[r, g] * w[i, g] — contraction over the lane dims;
     # HIGHEST keeps one-hot-selected integers < 2^24 exact (bf16x6 carries

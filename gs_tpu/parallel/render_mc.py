@@ -5,8 +5,12 @@ multi-GPU of any kind"; BASELINE.json north star): under ``shard_map``,
 
   1. each device preprocesses ITS shard of the gaussians (EWA projection,
      SH shading) — embarrassingly parallel over the ``gauss`` axis,
-  2. the per-gaussian screen-space packets are ``all_gather``ed over ICI
-     (40 B/gaussian — the culled working set, not the parameters),
+  2. the per-gaussian screen-space packets are compacted to the VISIBLE
+     prefix (a fixed ``visible_capacity`` buffer per device, overflow-
+     flagged like the binning capacities) and ``all_gather``ed over ICI —
+     60 B/visible gaussian, the culled working set, not the parameters
+     (SURVEY §5 "all-gather of the culled working set"; with
+     ``visible_capacity=0`` the full capacity-padded shard is gathered),
   3. each device bins and rasterizes an INTERLEAVED set of tile rows
      (device d owns global tile rows d, d+k, d+2k, ... — adjacent image
      rows differ little in splat load, so sky-vs-ground scenes stay
@@ -39,6 +43,32 @@ from ..render import RenderOutput, render_projected
 from .mesh import GAUSS_AXIS
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _compact_rows(x, idx, inv, vcap: int):
+    """Prefix-compaction gather ``x[idx]`` with a GATHER-based VJP.
+
+    ``idx`` [vcap] are unique row ids (the visible-first permutation
+    prefix); ``inv`` [n] is each row's position in that permutation.
+    Autodiff's transpose of the gather is a scatter-add, which serializes
+    on TPU (ops/segment.py header: 303 ms for a few M rows on v5e); because
+    the permutation is injective the exact cotangent is itself a gather:
+    row r receives ct[inv[r]] if it was kept, else 0."""
+    return x[idx]
+
+
+def _compact_fwd(x, idx, inv, vcap):
+    return x[idx], (inv,)
+
+
+def _compact_bwd(vcap, res, ct):
+    (inv,) = res
+    ctz = jnp.concatenate([ct, jnp.zeros((1, ct.shape[1]), ct.dtype)])
+    return ctz[jnp.minimum(inv, vcap)], None, None
+
+
+_compact_rows.defvjp(_compact_fwd, _compact_bwd)
+
+
 def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
                      mesh: Mesh, *, active_sh_degree: int,
                      antialiasing: bool = False,
@@ -48,7 +78,8 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
                      dup_capacity: int = 1 << 18,
                      max_per_tile: int = 1024,
                      chunk: int = 64,
-                     packed_sh_degree: Optional[int] = None) -> RenderOutput:
+                     packed_sh_degree: Optional[int] = None,
+                     visible_capacity: int = 0) -> RenderOutput:
     """Render one view with gaussians sharded over ``mesh`` (axis 'gauss').
 
     ``dup_capacity`` is PER DEVICE (each band bins only the entries that
@@ -62,6 +93,14 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
     the training-hot-path layout under the mesh. SH-degree masking
     (mask_sh_rows) happens OUTSIDE (elementwise, sharding-preserving),
     exactly like mask_sh_rest on the tree path.
+
+    ``visible_capacity``: per-device static cap on packets entering the
+    collective. Each device sorts its shard visible-first and gathers only
+    the first ``visible_capacity`` rows — O(visible) ICI traffic instead of
+    O(capacity) (dead padded slots dominate real capacities). If a shard
+    has more visible gaussians than the cap, ``overflow`` is raised (same
+    contract as the binning capacities: the trainer grows + replays).
+    0 disables compaction (full-capacity gather, round-3 behavior).
     """
     k = mesh.devices.size
     width, height = camera.width, camera.height
@@ -80,7 +119,7 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
         in_specs=(pspec, gspec if alive is not None else rspec,
                   gspec if mean2d_tap is not None else rspec, rspec),
         out_specs=(rspec, rspec, rspec, gspec, gspec, rspec, rspec, rspec,
-                   rspec),
+                   rspec, rspec),
         check_vma=False)
     def fn(p_shard, alive_shard, tap_shard, bg_in):
         if packed_sh_degree is not None:
@@ -105,10 +144,33 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
             proj.depth[:, None],
             proj.visible.astype(jnp.float32)[:, None],
             proj.radius_cull.astype(jnp.float32)], axis=1)   # cols 3,4
+        n_local = packets.shape[0]
+        n_vis_local = jnp.sum(proj.visible.astype(jnp.int32))
 
-        packets_full = jax.lax.all_gather(packets, GAUSS_AXIS, axis=0,
-                                          tiled=True)   # [N, 10]
-        geom_full = jax.lax.all_gather(geom, GAUSS_AXIS, axis=0, tiled=True)
+        if visible_capacity and visible_capacity < n_local:
+            vcap = visible_capacity
+            feats = jnp.concatenate([packets, geom], axis=1)  # [n, 15]
+            # visible-first stable order; ties keep index order so depth
+            # sorting downstream sees the same relative sequence
+            order = jnp.argsort(
+                jnp.where(proj.visible, 0, 1).astype(jnp.int32),
+                stable=True)
+            idx = jax.lax.stop_gradient(order[:vcap])
+            inv = jax.lax.stop_gradient(jnp.argsort(order))  # row -> pos
+            featc = _compact_rows(feats, idx, inv, vcap)     # [vcap, 15]
+            feats_full = jax.lax.all_gather(featc, GAUSS_AXIS, axis=0,
+                                            tiled=True)      # [k*vcap, 15]
+            packets_full = feats_full[:, :10]
+            geom_full = feats_full[:, 10:]
+            # dropped rows beyond the cap: visible ones overflow (truncated
+            # render — flag it); invisible ones carry zero packets anyway
+            vis_overflow = n_vis_local > vcap
+        else:
+            packets_full = jax.lax.all_gather(packets, GAUSS_AXIS, axis=0,
+                                              tiled=True)   # [N, 10]
+            geom_full = jax.lax.all_gather(geom, GAUSS_AXIS, axis=0,
+                                           tiled=True)
+            vis_overflow = jnp.bool_(False)
 
         # coordinates stay GLOBAL; this device renders the interleaved tile
         # rows phase + j*k (adjacent image rows have similar splat load, so
@@ -144,31 +206,31 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
         image = reinterleave(out.image, 1)                  # [3, gy_pad*ty, W]
         invd = reinterleave(out.invdepth, 1)
         finalT = reinterleave(out.final_T, 0)
-        # per-gaussian stats (non-differentiable): the geometry is identical
-        # on every device after the all-gather, so just slice the local shard
-        n_local = (p_shard.shape[1] if packed_sh_degree is not None
-                   else p_shard.xyz.shape[0])
-        geom_sg = jax.lax.stop_gradient(geom_full)
-        i0 = jax.lax.axis_index(GAUSS_AXIS) * n_local
-        geom_loc = jax.lax.dynamic_slice_in_dim(geom_sg, i0, n_local, axis=0)
-        radii_loc = geom_loc[:, 0].astype(jnp.int32)
-        vis_loc = geom_loc[:, 2] > 0.5
+        # per-gaussian stats (non-differentiable): straight from the LOCAL
+        # shard's projection — identical values to slicing the gathered
+        # geometry back, without depending on what entered the collective
+        radii_loc = jax.lax.stop_gradient(proj.radius)
+        vis_loc = jax.lax.stop_gradient(proj.visible)
         stats = jax.lax.stop_gradient(jnp.stack([
             out.num_duplicates.astype(jnp.float32),
             out.max_tile_len.astype(jnp.float32),
-            out.overflow.astype(jnp.float32)]))
+            (out.overflow | vis_overflow).astype(jnp.float32)]))
         nd = jax.lax.psum(stats[0], GAUSS_AXIS).astype(jnp.int32)
         ml = jax.lax.pmax(stats[1], GAUSS_AXIS).astype(jnp.int32)
         ov = jax.lax.pmax(stats[2], GAUSS_AXIS) > 0
         # per-band duplicate counts: the tile-band load-balance diagnostic
         band_nd = jax.lax.all_gather(
             out.num_duplicates.astype(jnp.int32), GAUSS_AXIS)   # [k]
-        return image, invd, finalT, radii_loc, vis_loc, nd, ml, ov, band_nd
+        # per-device visible counts: sizes the visible_capacity compaction
+        # (max of this is what the trainer grows the cap to on overflow)
+        band_vis = jax.lax.all_gather(n_vis_local, GAUSS_AXIS)  # [k]
+        return (image, invd, finalT, radii_loc, vis_loc, nd, ml, ov,
+                band_nd, band_vis)
 
     alive_in = alive if alive is not None else jnp.zeros((1,), bool)
     tap_in = (mean2d_tap if mean2d_tap is not None
               else jnp.zeros((1, 2), jnp.float32))
-    image, invd, finalT, radii, vis, nd, ml, ov, band_nd = fn(
+    image, invd, finalT, radii, vis, nd, ml, ov, band_nd, band_vis = fn(
         params, alive_in, tap_in, bg)
     return RenderOutput(
         image=image[:, :height, :],
@@ -176,4 +238,4 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
         final_T=finalT[:height, :],
         radii=radii, visibility=vis,
         num_duplicates=nd, max_tile_len=ml, overflow=ov,
-        band_duplicates=band_nd)
+        band_duplicates=band_nd, band_visible=band_vis)

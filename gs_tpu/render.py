@@ -41,6 +41,8 @@ class RenderOutput(NamedTuple):
     band_duplicates: Optional[jnp.ndarray] = None  # [k] per-device band
     # duplicate counts (multichip path only) — the tile-band load-balance
     # diagnostic; max/mean of this is the imbalance factor
+    band_visible: Optional[jnp.ndarray] = None  # [k] per-device visible
+    # gaussian counts (multichip path only) — sizes visible_capacity
 
 
 def resolve_backend(backend: str) -> str:

@@ -470,8 +470,9 @@ class Trainer:
             return
         attempts = 0
         while bool(metrics.overflow):
-            changes = self._overflow_changes(int(metrics.num_duplicates),
-                                             int(metrics.max_tile_len))
+            changes = self._overflow_changes(
+                int(metrics.num_duplicates), int(metrics.max_tile_len),
+                int(getattr(metrics, "max_band_visible", 0)))
             if not changes:
                 break
             replay = self.overflow_replay and attempts < 4
@@ -513,8 +514,9 @@ class Trainer:
                  cam_idx=cam_idx, iteration=self.iteration)
         print(f"[gs_tpu] wrote debug dump to {path}")
 
-    def _overflow_changes(self, num_duplicates: int, max_tile_len: int) -> dict:
-        """Which static binning buffer actually overflowed, grown to pow2."""
+    def _overflow_changes(self, num_duplicates: int, max_tile_len: int,
+                          max_band_visible: int = 0) -> dict:
+        """Which static buffer actually overflowed, grown to pow2."""
         changes = {}
         if num_duplicates > self.raster.dup_capacity:
             changes["dup_capacity"] = 1 << int(
@@ -522,6 +524,10 @@ class Trainer:
         if max_tile_len > self.raster.max_per_tile:
             changes["max_per_tile"] = 1 << int(
                 math.ceil(math.log2(max(max_tile_len + 1, 2))))
+        vcap = getattr(self.raster, "visible_capacity", 0)
+        if vcap and max_band_visible > vcap:
+            changes["visible_capacity"] = 1 << int(
+                math.ceil(math.log2(max(max_band_visible + 1, 2))))
         return changes
 
     def _grow_raster(self, changes: dict, will_replay: bool):

@@ -19,6 +19,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ModelConfig, OptimizationConfig, PipelineConfig, RasterConfig
 from ..core.camera import CameraBatch
@@ -42,6 +43,9 @@ class StepMetrics(NamedTuple):
     max_tile_len: jnp.ndarray
     overflow: jnp.ndarray
     n_visible: jnp.ndarray
+    # largest per-device visible count (multichip visible_capacity sizing;
+    # 0 on single-chip). np default keeps jax uninitialized at import.
+    max_band_visible: jnp.ndarray = np.int32(0)
 
 
 def mask_sh_rest(params: GaussianParams, active_sh_degree) -> GaussianParams:
@@ -95,7 +99,9 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    dup_capacity=raster.dup_capacity,
                                    max_per_tile=raster.max_per_tile,
                                    chunk=raster.chunk,
-                                   packed_sh_degree=max_sh_degree)
+                                   packed_sh_degree=max_sh_degree,
+                                   visible_capacity=getattr(
+                                       raster, "visible_capacity", 0))
         elif packed:
             masked = mask_sh_rows(params, lay, active_sh_degree)
             proj = preprocess_packed(masked, cam, sh_degree=max_sh_degree,
@@ -125,7 +131,9 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    backend=raster.backend,
                                    dup_capacity=raster.dup_capacity,
                                    max_per_tile=raster.max_per_tile,
-                                   chunk=raster.chunk)
+                                   chunk=raster.chunk,
+                                   visible_capacity=getattr(
+                                       raster, "visible_capacity", 0))
         else:
             masked = mask_sh_rest(params, active_sh_degree)
             proj = preprocess(masked, cam, active_sh_degree=max_sh_degree,
@@ -209,11 +217,14 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
             state = exposure_update(state, full_exp_grad, opt, iteration)
 
         loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - ssim_v) + dl1
+        mbv = (jnp.max(out.band_visible).astype(jnp.int32)
+               if out.band_visible is not None else jnp.int32(0))
         metrics = StepMetrics(loss=loss, l1=ll1, ssim=ssim_v, depth_l1=dl1,
                               num_duplicates=out.num_duplicates,
                               max_tile_len=out.max_tile_len,
                               overflow=out.overflow,
-                              n_visible=jnp.sum(out.visibility))
+                              n_visible=jnp.sum(out.visibility),
+                              max_band_visible=mbv)
         return state, metrics
 
     return jax.jit(step_core)
@@ -266,7 +277,9 @@ def make_train_steps_scan(train_step, *, use_alpha: bool, use_depth: bool):
         last = last._replace(
             overflow=jnp.any(ms.overflow & vmask),
             num_duplicates=jnp.max(jnp.where(vmask, ms.num_duplicates, 0)),
-            max_tile_len=jnp.max(jnp.where(vmask, ms.max_tile_len, 0)))
+            max_tile_len=jnp.max(jnp.where(vmask, ms.max_tile_len, 0)),
+            max_band_visible=jnp.max(
+                jnp.where(vmask, ms.max_band_visible, 0)))
         return state, last
 
     return train_steps
