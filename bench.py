@@ -82,10 +82,14 @@ SCAN_STEPS = 4      # steps per dispatch (production --block_scan shape)
 BACKEND = "pallas_interpret" if os.environ.get("GS_BENCH_INTERPRET") else "pallas"
 
 # known-good static buffer sizes for the two scenes (measured; the step
-# itself reports overflow so a regression cannot silently truncate)
+# itself reports overflow so a regression cannot silently truncate).
+# Round-4: capacities are TIERED (multiples of 512), not pow2 — every
+# D-linear stage (expansion, both big sorts, cumsums, fold) scales with the
+# padded capacity, and pow2 rounding was costing ~28% dead entries
+# (3.02M real -> 4.19M padded). 3.33M = measured duplicates + ~10% headroom.
 CAPS = {
-    "uniform": (1 << 22, 1024),
-    "heavy_tail": (1 << 22, 4096),
+    "uniform": (3_328_000, 1024),
+    "heavy_tail": (3_328_000, 4096),
 }
 
 
@@ -122,7 +126,10 @@ def build_scene(kind: str = "uniform"):
         ], axis=1))
     pts = np.concatenate(pts, axis=0)
     cols = rng.uniform(0, 1, (N_GAUSS, 3))
-    cap = 1 << max(10, math.ceil(math.log2(N_GAUSS * 1.05)))
+    # a trained scene loads at tight capacity (apps/render.py::params_from_ply
+    # pads only to the next 1024); pow2 padding here (2^20 for 500k) was
+    # adding ~50 ms/step of dead-slot work to every N-linear stage
+    cap = max(1024, -(-int(N_GAUSS * 1.02) // 1024) * 1024)
     params, alive = create_from_pcd(pts, cols, sh_degree=3, capacity=cap)
     # create_from_pcd's 3-NN init makes splats tile the volume wall-to-wall;
     # trained scenes have much smaller splats relative to spacing — shrink so
@@ -157,10 +164,11 @@ def measure_scene(kind: str, repeats: int) -> dict:
     kwargs = dict(active_sh_degree=3, backend=BACKEND, alive=alive,
                   dup_capacity=dup_capacity, max_per_tile=max_per_tile,
                   chunk=64,
-                  # round-3 levers, off by default to keep the driver-run
-                  # HLO warm in .jax_cache — flip via env to measure
-                  exact_cull=bool(os.environ.get("GS_BENCH_EXACT_CULL")),
-                  pallas_expand=bool(os.environ.get("GS_BENCH_PALLAS_EXPAND")),
+                  # validated on-chip r4 and now the product defaults;
+                  # set =0 to measure without a lever
+                  exact_cull=os.environ.get("GS_BENCH_EXACT_CULL", "1") != "0",
+                  pallas_expand=os.environ.get(
+                      "GS_BENCH_PALLAS_EXPAND", "1") != "0",
                   bf16_features=bool(os.environ.get("GS_BENCH_BF16")))
 
     def loss_fn(p):
@@ -236,8 +244,8 @@ def measure_train_step(kind: str, repeats: int) -> dict:
     raster = RasterConfig(
         backend=BACKEND, dup_capacity=dup_capacity,
         max_per_tile=max_per_tile, chunk=64,
-        exact_cull=bool(os.environ.get("GS_BENCH_EXACT_CULL")),
-        pallas_expand=bool(os.environ.get("GS_BENCH_PALLAS_EXPAND")),
+        exact_cull=os.environ.get("GS_BENCH_EXACT_CULL", "1") != "0",
+        pallas_expand=os.environ.get("GS_BENCH_PALLAS_EXPAND", "1") != "0",
         bf16_features=bool(os.environ.get("GS_BENCH_BF16")))
     step = make_train_step(
         OptimizationConfig(iterations=30_000), ModelConfig(),

@@ -29,7 +29,9 @@ def save_png(path: str, chw: np.ndarray):
 
 def params_from_ply(d: dict, capacity: int | None = None):
     n = d["xyz"].shape[0]
-    cap = capacity or n
+    # pad to a lane-aligned tier: the (8,128) TPU tiling and the packed
+    # [R, C] layout want C % 128 == 0; 1024 keeps re-jit tiers coarse
+    cap = capacity or max(1024, -(-n // 1024) * 1024)
     def pad(x, fill=0.0):
         cfg = [(0, cap - n)] + [(0, 0)] * (x.ndim - 1)
         return jnp.asarray(np.pad(x, cfg, constant_values=fill))

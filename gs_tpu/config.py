@@ -80,13 +80,16 @@ class RasterConfig:
     bf16_features: bool = False      # stream rgb+invdepth as bf16 through
     # the expansion/sort (pallas backend; ~0.4% color quantization, grads
     # straight-through — see tests/test_pallas.py bf16 parity tests)
-    pallas_expand: bool = False      # duplicate expansion via the block
+    pallas_expand: bool = True       # duplicate expansion via the block
     # one-hot MXU kernel (ops/expand_pallas.py) instead of jnp.repeat
-    # (pallas backend; needs dup_capacity % 512 == 0)
-    exact_cull: bool = False         # drop expanded entries whose tile the
+    # (pallas backend; needs dup_capacity % 512 == 0, silently falls back
+    # to repeat otherwise). Validated on-chip r4: output-identical, the
+    # ~32 ms jnp.repeat drops to a few ms
+    exact_cull: bool = True          # drop expanded entries whose tile the
     # ellipse provably never reaches (alpha < 1/255 over the whole rect)
     # before the tile sort — shrinks per-tile ranges / max_tile_len at
-    # zero output difference (pallas backend)
+    # zero output difference (pallas backend; on-chip r4: max_tile_len
+    # 627 -> 544 on the bench scene, identical loss)
     visible_capacity: int = 0        # multi-chip (--mesh) only: per-device
     # cap on packets entering the all-gather; each device compacts its
     # shard visible-first so ICI traffic is O(visible), not O(capacity).

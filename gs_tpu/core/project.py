@@ -127,6 +127,11 @@ def _cov2d_channels(camera: Camera, vx, vy, vz, sig):
     clamped Jacobian, +0.3 px low-pass on the diagonal."""
     limx = 1.3 * camera.tan_fovx
     limy = 1.3 * camera.tan_fovy
+    # anything at or behind the near plane is frustum-culled (visible mask),
+    # so clamping z here is exact for every visible gaussian while keeping
+    # culled/dead slots NaN-free (0/0 primals poison backward cotangents
+    # even under the visibility where-mask)
+    vz = jnp.maximum(vz, NEAR_CULL_Z)
     txtz = vx / vz
     tytz = vy / vz
     tx = jnp.clip(txtz, -limx, limx) * vz
@@ -171,7 +176,7 @@ def compute_cov2d(camera: Camera, p_view: jnp.ndarray, cov3d_packed: jnp.ndarray
 
     Returns (cov2d [N,3] = (xx, xy, yy) after low-pass, det_orig, det_dilated).
     """
-    tz = p_view[:, 2]
+    tz = jnp.maximum(p_view[:, 2], NEAR_CULL_Z)  # see _cov2d_channels
     limx = 1.3 * camera.tan_fovx
     limy = 1.3 * camera.tan_fovy
     txtz = p_view[:, 0] / tz
@@ -323,7 +328,13 @@ def _preprocess_from_channels(camera: Camera, x, y, z, ls, quat, lop,
         # coefficient channels — XLA CSEs the shared basis polynomials
         cc = camera.camera_center
         dx, dy, dz = x - cc[0], y - cc[1], z - cc[2]
-        inv_n = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        # dead (padding) slots can sit exactly at the camera center; an
+        # unguarded rsqrt(0) makes their PRIMAL direction NaN, and the
+        # backward multiplies cotangents by those primals (0 * NaN = NaN),
+        # poisoning dead-slot grads -> dense-Adam moments. Guard is inert
+        # for real gaussians (any distance > 1e-9 m).
+        inv_n = 1.0 / jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz,
+                                           1e-18))
         dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
         rgb = jnp.stack([
             eval_sh_channels(active_sh_degree, coeffs[c::3], dx, dy, dz)

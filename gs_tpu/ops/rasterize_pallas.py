@@ -626,6 +626,11 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
         row_phase = jnp.reshape(row_phase, (1,)).astype(jnp.int32)
 
     packets = pack_projected(proj)                       # [N, 10]
+    if pallas_expand:
+        from .expand_pallas import BLOCK
+        # graceful fallback: the block one-hot kernel needs BLOCK-aligned
+        # capacity; arbitrary user --dup_capacity values keep working
+        pallas_expand = dup_capacity % BLOCK == 0
     bins, cols = _bin_with_payload(
         packets, jax.tree.map(jax.lax.stop_gradient, proj),
         (width, height, tile_x, tile_y, dup_capacity, row_stride,

@@ -89,7 +89,8 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
     if convert_SHs_python and override_color is None:
         from .core.sh import eval_sh
         dirs = params.xyz - camera.camera_center[None, :]
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
         feats = jnp.concatenate([params.sh_dc, params.sh_rest], axis=1)
         sh = jnp.swapaxes(feats, 1, 2)
         override_color = jnp.maximum(

@@ -519,8 +519,13 @@ class Trainer:
         """Which static buffer actually overflowed, grown to pow2."""
         changes = {}
         if num_duplicates > self.raster.dup_capacity:
-            changes["dup_capacity"] = 1 << int(
-                math.ceil(math.log2(max(num_duplicates + 1, 2))))
+            # tiered, not pow2: every D-linear stage (expansion, both big
+            # sorts, fold cumsum) scales with the padded capacity — pow2
+            # rounding wastes up to ~2x; 1.2x headroom + 512 alignment
+            # (pallas_expand BLOCK) keeps re-jits rare and slack small
+            changes["dup_capacity"] = max(
+                -(-int(num_duplicates * 1.2) // 512) * 512,
+                self.raster.dup_capacity + 512)
         if max_tile_len > self.raster.max_per_tile:
             changes["max_per_tile"] = 1 << int(
                 math.ceil(math.log2(max(max_tile_len + 1, 2))))
