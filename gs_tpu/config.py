@@ -85,6 +85,11 @@ class RasterConfig:
     # (pallas backend; needs dup_capacity % 512 == 0, silently falls back
     # to repeat otherwise). Validated on-chip r4: output-identical, the
     # ~32 ms jnp.repeat drops to a few ms
+    pallas_fold: bool = False        # gradient fold's per-gaussian
+    # reduction via the streaming one-hot MXU kernel (ops/fold_pallas.py)
+    # instead of stack+cumsum+run-end gathers (pallas backend; the ~25 ms
+    # random-row gather tail of segment_sum_runend becomes a sequential
+    # stream)
     exact_cull: bool = True          # drop expanded entries whose tile the
     # ellipse provably never reaches (alpha < 1/255 over the whole rect)
     # before the tile sort — shrinks per-tile ranges / max_tile_len at

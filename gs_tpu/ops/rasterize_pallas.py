@@ -533,7 +533,7 @@ def _unpack_bf16_pair(x):
 
 def _bin_with_payload_fwd(packets, proj_sg, dims, row_phase):
     (width, height, tile_x, tile_y, dup_capacity, row_stride, bf16,
-     expand, interp, exact_cull) = dims
+     expand, interp, exact_cull, _fold) = dims
     if bf16:
         # stream rgb+invdepth as bf16 pairs: 10 -> 8 payload columns through
         # the expansion and the sort (the HBM-heavy stages). Geometry
@@ -575,7 +575,26 @@ def _zero_tangent(x):
 def _bin_with_payload_bwd(dims, residuals, cot):
     gid_sent, counts_orig, n, proj_sg, overflow = residuals
     _, d_cols = cot                      # TileBins cotangents are float0
-    d_packets = segment_sum_runend(d_cols, gid_sent, counts_orig, n)
+    interp, fold = dims[8], dims[10]
+    if fold:
+        # sort by gid (grouping runs contiguously, ascending original id),
+        # then the streaming one-hot fold kernel replaces the
+        # stack+cumsum+run-end-gather tail of segment_sum_runend — the
+        # N-row random gathers from the [D, F] cumsum table are the fold's
+        # most expensive piece on v5e (~25 ms at D=4.2M)
+        from .fold_pallas import ROWS as FROWS, fold_rows
+        f = len(d_cols)
+        ops = jax.lax.sort((gid_sent,) + tuple(d_cols), dimension=0,
+                           is_stable=False, num_keys=1)
+        dcap = d_cols[0].shape[0]
+        data = jnp.concatenate(
+            [jnp.stack(ops[1:], axis=0),
+             jnp.zeros((FROWS - f, dcap), jnp.float32)], axis=0)
+        offs = jnp.cumsum(counts_orig) - counts_orig
+        d_packets = fold_rows(data, offs, counts_orig, n,
+                              interpret=interp)[:f].T      # [N, F]
+    else:
+        d_packets = segment_sum_runend(d_cols, gid_sent, counts_orig, n)
     # under capacity overflow the entry stream is truncated, so the run-end
     # windows derived from the (untruncated) gauss_counts misalign past the
     # cut and would cross-contaminate gradients BETWEEN gaussians; a
@@ -599,7 +618,8 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
                      row_phase=None, row_stride: int = 1,
                      bf16_features: bool = False,
                      pallas_expand: bool = False,
-                     exact_cull: bool = False):
+                     exact_cull: bool = False,
+                     pallas_fold: bool = False):
     """Render via the Pallas tile kernel; differentiable w.r.t. ``proj``
     through the packet features.
 
@@ -636,7 +656,7 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
         (width, height, tile_x, tile_y, dup_capacity, row_stride,
          bool(bf16_features),
          "pallas" if pallas_expand else "repeat", interpret,
-         bool(exact_cull)),
+         bool(exact_cull), bool(pallas_fold)),
         row_phase)                                       # 10 x [D]
     # stack along axis 0: each sorted column becomes one contiguous feature
     # row — no [D, 10] <-> [10, D] relayout anywhere on the hot path

@@ -68,7 +68,8 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
            tile_block: int = 0,
            bf16_features: bool = False,
            pallas_expand: bool = False,
-           exact_cull: bool = False) -> RenderOutput:
+           exact_cull: bool = False,
+           pallas_fold: bool = False) -> RenderOutput:
     """Render one view. Differentiable w.r.t. ``params`` (and bg).
 
     ``convert_SHs_python`` / ``compute_cov3D_python`` recompute SH shading /
@@ -106,7 +107,8 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
                             tile_block=tile_block,
                             bf16_features=bf16_features,
                             pallas_expand=pallas_expand,
-                            exact_cull=exact_cull)
+                            exact_cull=exact_cull,
+                            pallas_fold=pallas_fold)
 
 
 def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
@@ -116,7 +118,8 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
                      row_stride: int = 1,
                      bf16_features: bool = False,
                      pallas_expand: bool = False,
-                     exact_cull: bool = False) -> RenderOutput:
+                     exact_cull: bool = False,
+                     pallas_fold: bool = False) -> RenderOutput:
     """``row_phase`` (traced ok) / ``row_stride`` (static): render only the
     global tile rows phase + j*stride into the local height — the
     interleaved multi-chip band assignment (parallel/render_mc.py)."""
@@ -146,7 +149,8 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
             row_phase=row_phase, row_stride=row_stride,
             bf16_features=bf16_features,
             pallas_expand=pallas_expand,
-            exact_cull=exact_cull)
+            exact_cull=exact_cull,
+            pallas_fold=pallas_fold)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return RenderOutput(image=image, invdepth=invd, final_T=finalT,

@@ -120,7 +120,9 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    pallas_expand=getattr(
                                        raster, "pallas_expand", False),
                                    exact_cull=getattr(
-                                       raster, "exact_cull", False))
+                                       raster, "exact_cull", False),
+                                   pallas_fold=getattr(
+                                       raster, "pallas_fold", False))
         elif mesh is not None:
             masked = mask_sh_rest(params, active_sh_degree)
             from ..parallel.render_mc import render_multichip
@@ -151,7 +153,9 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    pallas_expand=getattr(
                                        raster, "pallas_expand", False),
                                    exact_cull=getattr(
-                                       raster, "exact_cull", False))
+                                       raster, "exact_cull", False),
+                                   pallas_fold=getattr(
+                                       raster, "pallas_fold", False))
         image = out.image
         if use_exposure:
             image = apply_exposure(image, exposure_row)
