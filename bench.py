@@ -170,7 +170,7 @@ def measure_scene(kind: str, repeats: int) -> dict:
                   pallas_expand=os.environ.get(
                       "GS_BENCH_PALLAS_EXPAND", "1") != "0",
                   pallas_fold=os.environ.get(
-                      "GS_BENCH_PALLAS_FOLD", "0") != "0",
+                      "GS_BENCH_PALLAS_FOLD", "1") != "0",
                   bf16_features=bool(os.environ.get("GS_BENCH_BF16")))
 
     def loss_fn(p):
@@ -248,7 +248,7 @@ def measure_train_step(kind: str, repeats: int) -> dict:
         max_per_tile=max_per_tile, chunk=64,
         exact_cull=os.environ.get("GS_BENCH_EXACT_CULL", "1") != "0",
         pallas_expand=os.environ.get("GS_BENCH_PALLAS_EXPAND", "1") != "0",
-        pallas_fold=os.environ.get("GS_BENCH_PALLAS_FOLD", "0") != "0",
+        pallas_fold=os.environ.get("GS_BENCH_PALLAS_FOLD", "1") != "0",
         bf16_features=bool(os.environ.get("GS_BENCH_BF16")))
     step = make_train_step(
         OptimizationConfig(iterations=30_000), ModelConfig(),

@@ -85,11 +85,11 @@ class RasterConfig:
     # (pallas backend; needs dup_capacity % 512 == 0, silently falls back
     # to repeat otherwise). Validated on-chip r4: output-identical, the
     # ~32 ms jnp.repeat drops to a few ms
-    pallas_fold: bool = False        # gradient fold's per-gaussian
+    pallas_fold: bool = True         # gradient fold's per-gaussian
     # reduction via the streaming one-hot MXU kernel (ops/fold_pallas.py)
-    # instead of stack+cumsum+run-end gathers (pallas backend; the ~25 ms
-    # random-row gather tail of segment_sum_runend becomes a sequential
-    # stream)
+    # instead of stack+cumsum+run-end gathers (pallas backend). On-chip r4:
+    # parity 4e-6, the fold drops 45 -> 33 ms at D=3.33M (the kernel itself
+    # streams at HBM speed; the remaining cost is the 11-op gid sort)
     exact_cull: bool = True          # drop expanded entries whose tile the
     # ellipse provably never reaches (alpha < 1/255 over the whole rect)
     # before the tile sort — shrinks per-tile ranges / max_tile_len at

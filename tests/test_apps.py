@@ -31,6 +31,7 @@ def _train_args(root, model, iters=12, extra=()):
             "--eval", *extra]
 
 
+@pytest.mark.slow
 def test_train_render_metrics_cli(tiny_scene, tmp_path):
     from gs_tpu.apps import metrics as metrics_app
     from gs_tpu.apps import render as render_app

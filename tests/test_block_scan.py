@@ -58,6 +58,7 @@ def test_next_boundary(rng):
     assert tr._next_boundary(39, 40) == 40
 
 
+@pytest.mark.slow
 def test_block_scan_trains(rng):
     tr = make_trainer(rng)
     steps_seen = []
@@ -125,6 +126,7 @@ def test_aot_next_tier_executable(rng):
                                    rtol=1e-6, atol=1e-7, err_msg=k)
 
 
+@pytest.mark.slow
 def test_block_and_step_modes_agree_on_schedule(rng):
     # same schedule events fire in both modes (values differ only through
     # RNG key derivation)

@@ -103,6 +103,7 @@ def test_convert_cli_with_stub_colmap(tmp_path, rng, monkeypatch):
 
 # -------------------------------------------------------------- full_eval CLI
 
+@pytest.mark.slow
 def test_full_eval_end_to_end(tmp_path, rng):
     from gs_tpu.apps import full_eval
 

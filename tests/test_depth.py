@@ -67,6 +67,7 @@ def test_make_depth_scale_and_loading(tmp_path, rng):
     assert lc.invdepth.shape == lc.image.shape[1:]
 
 
+@pytest.mark.slow
 def test_depth_regularized_step(tmp_path, rng):
     """The depth-L1 term participates in the loss and produces gradients."""
     import jax.numpy as jnp

@@ -84,6 +84,7 @@ def _loss_and_len(params, cam, cull, backend="pallas_interpret", **kw):
 
 @pytest.mark.parametrize("maker,seed", [(_aniso_params, 0),
                                         (random_params, 4)])
+@pytest.mark.slow
 def test_exact_cull_identical_output(maker, seed):
     rng = np.random.default_rng(seed)
     params = maker(rng, 150)
@@ -103,6 +104,7 @@ def test_exact_cull_identical_output(maker, seed):
             f"exact_cull removed nothing (max_tile_len {int(ml0)})"
 
 
+@pytest.mark.slow
 def test_exact_cull_composes_with_pallas_expand():
     rng = np.random.default_rng(9)
     params = _aniso_params(rng, 120)

@@ -118,6 +118,7 @@ def test_binning_pallas_expand_matches_repeat(row_stride, row_phase):
                                       np.asarray(b)[valid])
 
 
+@pytest.mark.slow
 def test_render_pallas_expand_end_to_end():
     """Full pallas render + grads with the expansion kernel (interpret)."""
     from gs_tpu.render import render

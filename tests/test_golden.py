@@ -45,6 +45,7 @@ def _cameras():
             make_camera(R, t, fovx, fovy, W, H)]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["depthwise", "binned", "pallas_interpret"])
 @pytest.mark.parametrize("ci", [0, 1])
 def test_golden_values_and_grads(golden, backend, ci):

@@ -138,6 +138,7 @@ def test_pointcloud_utils(rng):
     assert estimate_heading(track) == pytest.approx(np.pi / 4)
 
 
+@pytest.mark.slow
 def test_train_live_smoke(rng, tmp_path, monkeypatch):
     """End-to-end: publisher thread -> live trainer for a few iterations."""
     from gs_tpu.apps import train_live

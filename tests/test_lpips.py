@@ -61,6 +61,7 @@ def _torch_lpips(img1, img2, weights):
     return float(total[0, 0, 0, 0])
 
 
+@pytest.mark.slow
 def test_lpips_matches_torch_reference(rng, tmp_path):
     torch = pytest.importorskip("torch")
     weights = _make_random_weights(rng)
@@ -113,6 +114,7 @@ def test_convert_torch_weights_cli(tmp_path):
         np.testing.assert_array_equal(loaded[k], v)
 
 
+@pytest.mark.slow
 def test_lpips_tap_fixture(tmp_path):
     """Committed fixture from the torch replica (tests/golden/lpips_taps.npz,
     regenerated only by gen_lpips_fixture.py): every normalized tap

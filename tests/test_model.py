@@ -1,4 +1,5 @@
 """Density-control and optimizer semantics at fixed capacity."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,7 @@ def make_state(n=8, capacity=32, opacity=0.5):
     return init_state(params, alive, num_images=3)
 
 
+@pytest.mark.slow
 def test_create_from_pcd():
     st = make_state()
     assert int(st.num_alive) == 8
@@ -141,6 +143,7 @@ def test_grow_capacity():
                                np.asarray(st.params.xyz))
 
 
+@pytest.mark.slow
 def test_compact(rng):
     import numpy as np
     import jax.numpy as jnp

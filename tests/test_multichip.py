@@ -24,6 +24,7 @@ def scene():
 KW = dict(dup_capacity=1 << 13, max_per_tile=256, chunk=64)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["binned", "pallas_interpret"])
 def test_multichip_forward_matches(scene, backend):
     params, cam, bg = scene
@@ -52,6 +53,7 @@ def test_multichip_forward_matches(scene, backend):
                                   np.asarray(ref.radii))
 
 
+@pytest.mark.slow
 def test_multichip_grads_match(scene):
     params, cam, bg = scene
     mesh = make_mesh(8)
@@ -77,6 +79,7 @@ def test_multichip_grads_match(scene):
                                    err_msg=f"grad mismatch: {name}")
 
 
+@pytest.mark.slow
 def test_multichip_tap_gradient(scene):
     """The densification tap must receive the same mean2d gradients."""
     params, cam, bg = scene
@@ -107,6 +110,7 @@ def test_multichip_tap_gradient(scene):
                                atol=3e-4 * s, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_trainer_with_mesh(scene):
     """Trainer(mesh=...) trains with sharded state end-to-end."""
     import numpy as np
@@ -176,6 +180,7 @@ def _tiny_trainer(cams, mesh, capacity):
         initial_capacity=capacity, mesh=mesh, seed=7)
 
 
+@pytest.mark.slow
 def test_trainer_mesh_capacity_growth(scene):
     """Densifying past the headroom under a mesh must grow capacity, KEEP the
     gauss sharding (VERDICT r1: growth silently dropped it), and stay
@@ -223,6 +228,7 @@ def test_trainer_mesh_capacity_growth(scene):
                                    err_msg=f"post-growth mismatch: {name}")
 
 
+@pytest.mark.slow
 def test_trainer_mesh_block_scan(scene):
     """run_block (lax.scan over steps, the default TPU dispatch mode) under a
     mesh: the scan wrapper re-jits the step without explicit shardings, so
@@ -274,6 +280,7 @@ def test_trainer_mesh_block_scan(scene):
                                    err_msg=f"block-scan mesh mismatch: {name}")
 
 
+@pytest.mark.slow
 def test_packed_step_mesh_equals_single(scene):
     """The packed-layout train step under the mesh (packed_sh_degree render
     path, [R, C] block sharded on its column axis) must produce the same
@@ -327,6 +334,7 @@ def test_packed_step_mesh_equals_single(scene):
     assert "gauss" in str(stm.packed.sharding.spec)
 
 
+@pytest.mark.slow
 def test_visible_capacity_compaction_matches(scene):
     """O(visible) collective (VERDICT r3 item 6): compacting each shard to a
     visible_capacity prefix before the all-gather must not change values,
@@ -380,6 +388,7 @@ def test_visible_capacity_overflow_flag(scene):
     assert int(jnp.max(out.band_visible)) > 8
 
 
+@pytest.mark.slow
 def test_packed_step_with_visible_capacity(scene):
     """The production packed multi-chip step with compaction enabled equals
     the uncompacted mesh step (trainer growth contract intact)."""

@@ -46,6 +46,7 @@ def _train_args(root, model, mesh):
             "--seed", "7", "--mesh", mesh]
 
 
+@pytest.mark.slow
 def test_two_process_multihost_matches_single_process(tmp_path):
     rng = np.random.default_rng(11)
     root = str(tmp_path / "dataset")

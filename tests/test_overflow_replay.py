@@ -7,6 +7,7 @@ window with the SAME camera picks and RNG draws — so the final state equals
 a run that never overflowed (the reference never trains on a truncated
 render: its CUDA buffers are sized exactly per frame).
 """
+import pytest
 import numpy as np
 
 from gs_tpu.config import (ModelConfig, OptimizationConfig, PipelineConfig,
@@ -60,6 +61,7 @@ def _assert_params_equal(a, b):
                                    err_msg=f"field {k}")
 
 
+@pytest.mark.slow
 def test_replay_block_scan(rng):
     # identical scene/data in both trainers (fresh generators, same seed)
     ctl = make_trainer(np.random.default_rng(42), dup_capacity=4096)
@@ -74,6 +76,7 @@ def test_replay_block_scan(rng):
     assert np.isclose(ctl.ema_loss, ovf.ema_loss, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_replay_step_mode(rng):
     ctl = make_trainer(np.random.default_rng(42), dup_capacity=4096)
     ovf = make_trainer(np.random.default_rng(42), dup_capacity=64)
@@ -112,6 +115,7 @@ def test_replay_exhaustion_flag(rng, monkeypatch, capsys):
     assert "overflow replay exhausted" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_no_replay_keeps_old_behavior(rng):
     """overflow_replay=False keeps the round-2 semantics: grow + re-jit but
     keep the truncated updates (still converges, not state-equal)."""

@@ -38,6 +38,7 @@ def _scene(rng, n=80, cap=128):
     return p, alive
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("deg", [0, 1, 3])
 def test_pack_roundtrip(rng, deg):
     p = random_params(rng, 40, sh_degree=deg)
@@ -64,6 +65,7 @@ def test_preprocess_packed_matches(rng):
                                    atol=1e-5, rtol=1e-5, err_msg=f)
 
 
+@pytest.mark.slow
 def test_preprocess_packed_grads_match(rng):
     params, alive = _scene(rng)
     cam = default_camera()
@@ -97,6 +99,7 @@ def test_mask_sh_rows_matches_mask_sh_rest(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
 
+@pytest.mark.slow
 def test_train_step_packed_equals_tree(rng):
     """Full step (render, loss, grads, Adam, densify stats) must produce the
     same state whether it runs on the pytree or the packed layout."""
@@ -170,6 +173,7 @@ def test_densify_reset_grow_packed_equal_unpacked(rng):
     assert np.all(np.asarray(gu.params.quat[128:, 0]) == 1.0)
 
 
+@pytest.mark.slow
 def test_trainer_packed_runs(rng):
     """Trainer with packed default: a few steps + a densify boundary + eval."""
     from gs_tpu.data.camera_utils import LoadedCamera
@@ -202,6 +206,7 @@ def test_trainer_packed_runs(rng):
     assert np.isfinite(r["psnr"])
 
 
+@pytest.mark.slow
 def test_overflow_zeroes_raster_grads(rng):
     """Truncated (overflowed) binning must produce ZERO packet gradients, not
     mis-routed ones (advisor r2: run-end windows misalign past the cut)."""

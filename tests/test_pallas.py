@@ -47,6 +47,7 @@ def test_binning_ranges(scene):
         assert np.all(np.diff(d) >= 0), f"tile {t} not depth-sorted"
 
 
+@pytest.mark.slow
 def test_pallas_forward_matches_jnp(scene):
     params, cam, bg = scene
     out_jnp = jax.jit(lambda p: _render(p, cam, bg, "binned"))(params)
@@ -60,6 +61,7 @@ def test_pallas_forward_matches_jnp(scene):
                                np.asarray(out_jnp.final_T), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pallas_grads_match_jnp(scene):
     params, cam, bg = scene
     gt = jnp.asarray(np.random.default_rng(1).uniform(
@@ -92,6 +94,7 @@ def test_pallas_empty_scene(scene):
     np.testing.assert_allclose(np.asarray(out.final_T), 1.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_alive_mask(scene):
     params, cam, bg = scene
     n = params.xyz.shape[0]
@@ -103,6 +106,7 @@ def test_pallas_alive_mask(scene):
                                np.asarray(out_jnp.image), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pallas_bf16_features_parity(rng):
     """bf16 rgb/invdepth streaming: parity envelope vs the f32 pipeline.
 

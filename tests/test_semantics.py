@@ -76,6 +76,7 @@ def test_exposure_affine():
     np.testing.assert_allclose(np.asarray(out[2]), 6.5)
 
 
+@pytest.mark.slow
 def test_exposure_training_updates_only_seen_camera(rng):
     params = random_params(rng, 64, sh_degree=1)
     state = init_state(params, jnp.ones(64, bool), num_images=3)
@@ -126,6 +127,7 @@ def test_sh_masking_matches_truncation(rng):
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_random_background(rng):
     params = random_params(rng, 32, sh_degree=1)
     state = init_state(params, jnp.ones(32, bool), 1)

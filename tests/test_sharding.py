@@ -36,6 +36,7 @@ def setup():
     return state, step, gt
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single(setup):
     state, step, gt = setup
     assert len(jax.devices()) >= 8

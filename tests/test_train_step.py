@@ -1,4 +1,5 @@
 """End-to-end training-step test: overfit a tiny synthetic scene."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,7 @@ from gs_tpu.train.step import make_train_step
 from tests.utils import random_params, default_camera
 
 
+@pytest.mark.slow
 def test_overfit_single_view():
     rng = np.random.default_rng(7)
     W, H = 64, 48
