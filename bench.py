@@ -322,10 +322,16 @@ def measure_render_fps(kind: str, repeats: int) -> dict:
         return float(x)
 
     def one_slope():
+        # span >= ~0.5 s of frames: a 3-frame slope is smaller than the
+        # axon tunnel's RTT variance and measured NEGATIVE once (r4)
         t0 = time.perf_counter(); run(1); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); run(4); t2 = time.perf_counter() - t0
-        return (t2 - t1) / 3
+        t0 = time.perf_counter(); run(13); t2 = time.perf_counter() - t0
+        return (t2 - t1) / 12
     dt = min(one_slope() for _ in range(max(repeats, 1)))
+    if dt <= 1e-4:                       # slope lost under tunnel jitter
+        return {"fps_1080p": None, "sec_per_frame": None,
+                "meets_30fps": None,
+                "error": f"non-positive slope {dt:.4f}s — tunnel jitter"}
     return {"fps_1080p": round(1.0 / dt, 2),
             "sec_per_frame": round(dt, 4),
             "meets_30fps": dt <= 1 / 30}

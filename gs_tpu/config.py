@@ -95,6 +95,10 @@ class RasterConfig:
     # before the tile sort — shrinks per-tile ranges / max_tile_len at
     # zero output difference (pallas backend; on-chip r4: max_tile_len
     # 627 -> 544 on the bench scene, identical loss)
+    band_assign: str = "cost"        # multi-chip tile-row assignment:
+    # "cost" re-deals rows to devices each frame by duplicate cost (snake
+    # order — r3's strided rows measured 2.5x band imbalance on centered
+    # scenes); "stride" is the fixed interleave
     visible_capacity: int = 0        # multi-chip (--mesh) only: per-device
     # cap on packets entering the all-gather; each device compacts its
     # shard visible-first so ICI traffic is O(visible), not O(capacity).

@@ -49,11 +49,13 @@ def tile_grid(width: int, height: int, tile_x: int, tile_y: int):
 
 def bin_gaussians(proj: Projected, width: int, height: int,
                   tile_x: int, tile_y: int, capacity: int,
-                  row_phase=0, row_stride: int = 1) -> TileBins:
+                  row_phase=0, row_stride: int = 1,
+                  row_map=None, row_cumown=None) -> TileBins:
     bins, _ = bin_gaussians_payload(proj, None, width, height,
                                     tile_x, tile_y, capacity,
                                     row_phase=row_phase,
-                                    row_stride=row_stride)
+                                    row_stride=row_stride,
+                                    row_map=row_map, row_cumown=row_cumown)
     return bins
 
 
@@ -62,7 +64,8 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
                           row_phase=0, row_stride: int = 1,
                           expand: str = "repeat",
                           expand_interpret: bool = False,
-                          exact_cull: bool = False):
+                          exact_cull: bool = False,
+                          row_map=None, row_cumown=None):
     """Binning that optionally carries per-gaussian ``payload`` [N, F] columns
     through the expansion and the tile sort, returning them per sorted entry
     as F separate [D] columns. Carrying the payload in the sort replaces the
@@ -73,6 +76,12 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     tile rows phase + j*stride, j in [0, height/tile_y) — the interleaved
     multi-chip band assignment. Coordinates stay global; the tile ids emitted
     are LOCAL (j*gx + col).
+
+    ``row_map`` (traced [gy_local] int32, ASCENDING global tile rows) with
+    ``row_cumown`` (traced [gy_global + 1] int32, exclusive prefix count of
+    owned rows): bin an ARBITRARY set of global tile rows — the
+    cost-balanced multi-chip band assignment (parallel/render_mc.py). Local
+    tile row j renders global row row_map[j]. Overrides phase/stride.
 
     ``expand``: "repeat" (XLA jnp.repeat row expansion) or "pallas" (the
     block one-hot MXU expansion kernel, ops/expand_pallas.py — requires
@@ -106,7 +115,19 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     radius_x = rcull[:, 0].astype(jnp.int32)
     radius_y = rcull[:, 1].astype(jnp.int32)
     visible0 = proj.visible & (radius_x > 0) & (radius_y > 0)
-    if row_stride == 1:
+    if row_map is not None:
+        # arbitrary owned-row set: rect rows remap through the ownership
+        # prefix table. "ry0" becomes the LOCAL starting row index j0 (the
+        # rect's first owned row's position in this device's ascending row
+        # list) and the row count is the number of owned rows in the rect —
+        # the expansion's local // sw then enumerates owned rows directly.
+        gy_glob = row_cumown.shape[0] - 1
+        rx0, gy0, rx1, gy1 = tile_rect(proj.mean2d, radius_x, gx, gy_glob,
+                                       tile_x, tile_y, radius_y=radius_y)
+        j0 = row_cumown[gy0]                           # [N] tiny-table gather
+        ry0 = j0
+        ry1 = row_cumown[gy1]                          # j0 + owned rows
+    elif row_stride == 1:
         rx0, ry0, rx1, ry1 = tile_rect(proj.mean2d, radius_x, gx, gy,
                                        tile_x, tile_y, radius_y=radius_y)
     else:
@@ -222,7 +243,13 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
         # ellipse radius_cull bounds per-axis (core/project.py:300-316);
         # +-1 px dilation mirrors its rounding guard
         two_l = 2.0 * jnp.log(jnp.maximum(255.0 * exp_cols[5], 1.0))
-        grow = t_row * row_stride + jnp.asarray(row_phase, jnp.int32)
+        if row_map is not None:
+            # local -> global row via the traced map (tiny-table gather;
+            # junk rows on padding entries clip harmlessly — they are
+            # already invalid)
+            grow = row_map.astype(jnp.int32).at[t_row].get(mode='clip')
+        else:
+            grow = t_row * row_stride + jnp.asarray(row_phase, jnp.int32)
         dx0 = (t_col * tile_x - 1).astype(jnp.float32) - ex
         dx1 = (t_col * tile_x + tile_x).astype(jnp.float32) - ex
         dy0 = (grow * tile_y - 1).astype(jnp.float32) - ey

@@ -108,7 +108,8 @@ def rasterize_depthwise(proj: Projected, width: int, height: int,
 def rasterize_binned(proj: Projected, bins: TileBins, width: int, height: int,
                      bg: jnp.ndarray, *, tile_x: int = 16, tile_y: int = 16,
                      max_per_tile: int = 1024, chunk: int = 64,
-                     tile_block: int = 0, row_phase=0, row_stride: int = 1):
+                     tile_block: int = 0, row_phase=0, row_stride: int = 1,
+                     row_map=None):
     """Tile-binned renderer over the sorted duplicated entry list.
 
     ``tile_block`` > 0 processes tiles in sequential blocks of that size
@@ -146,7 +147,10 @@ def rasterize_binned(proj: Projected, bins: TileBins, width: int, height: int,
         valid = pos < end[:, None]
         gid = jnp.where(valid, bins.entry_gid[jnp.clip(pos, 0, cap - 1)], 0)
         px = (t_ids % gx).astype(jnp.float32)[:, None] * tile_x + lx[None, :]
-        trow = (t_ids // gx) * row_stride + row_phase
+        if row_map is not None:
+            trow = row_map.astype(jnp.int32).at[t_ids // gx].get(mode='clip')
+        else:
+            trow = (t_ids // gx) * row_stride + row_phase
         py = trow.astype(jnp.float32)[:, None] * tile_y + ly[None, :]
 
         gid_c = gid.reshape(-1, n_chunks, chunk).transpose(1, 0, 2)   # [NC, TB, CS]

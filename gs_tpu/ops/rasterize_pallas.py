@@ -62,17 +62,22 @@ def _tri_matrices(cs: int):
     return l_incl, s_upper
 
 
-def _pixel_rows(t, gx, tile_x, tile_y, pix, row_phase=0, row_stride=1):
-    """Tile t's pixel coordinates as [1, pix] rows.
+def _global_trow(t, gx, rowp_ref, row_stride, use_row_map):
+    """LOCAL tile t's GLOBAL tile row: phase + local_row * stride (strided
+    multi-chip bands; rowp_ref is the [1] phase) or rowp_ref[local_row]
+    (arbitrary traced row map — the cost-balanced band assignment)."""
+    if use_row_map:
+        return rowp_ref[t // gx]
+    return (t // gx) * row_stride + rowp_ref[0]
 
-    ``row_phase``/``row_stride`` map LOCAL tile rows to global ones
-    (global_row = phase + local_row * stride) — the interleaved multi-chip
-    tile-band assignment; packets keep global coordinates."""
+
+def _pixel_rows(t, gx, tile_x, tile_y, pix, trow):
+    """Tile t's pixel coordinates as [1, pix] rows; ``trow`` is the global
+    tile row (packets keep global coordinates)."""
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1).astype(jnp.float32)
     tcol = (t % gx).astype(jnp.float32)
-    trow = ((t // gx) * row_stride + row_phase).astype(jnp.float32)
     px = tcol * tile_x + pid % tile_x
-    py = trow * tile_y + jnp.floor(pid / tile_x)
+    py = trow.astype(jnp.float32) * tile_y + jnp.floor(pid / tile_x)
     return px, py
 
 
@@ -114,7 +119,8 @@ def _chunk_dma(feats_hbm, fbuf, sem, base, k, slot):
 
 def _fwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm, out_ref,
                 ustore_ref, fbuf, sem, *, gx, tile_x, tile_y, pix, max_chunks,
-                tiles_per_program, row_stride, save_ustore):
+                tiles_per_program, row_stride, save_ustore,
+                use_row_map=False):
     l_incl, _ = _tri_matrices(CS)
     for tb in range(tiles_per_program):                  # static unroll
         t = pl.program_id(0) * tiles_per_program + tb
@@ -122,8 +128,8 @@ def _fwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm, out_ref,
         end = tile_end_ref[t]
         base = pl.multiple_of((start // CS) * CS, CS)
         nchunks = jnp.minimum(pl.cdiv(end - base, CS), max_chunks)
-        px, py = _pixel_rows(t, gx, tile_x, tile_y, pix,
-                             row_phase=rowp_ref[0], row_stride=row_stride)
+        trow = _global_trow(t, gx, rowp_ref, row_stride, use_row_map)
+        px, py = _pixel_rows(t, gx, tile_x, tile_y, pix, trow)
 
         out_ref[tb] = jnp.zeros((8, pix), jnp.float32)
         out_ref[tb, 4:5] = jnp.ones((1, pix), jnp.float32)   # running T
@@ -209,7 +215,7 @@ def _bwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm,
                 out_fwd_ref, ustore_ref, dout_ref, zeros_hbm, dfeats_hbm,
                 fbuf, dbuf_rd, dbuf_wr, sem_in, sem_rd, sem_wr, *,
                 gx, tile_x, tile_y, pix, max_chunks, row_stride,
-                tiles_per_program):
+                tiles_per_program, use_row_map=False):
     del zeros_hbm  # aliased into dfeats_hbm (zero initialization)
     l_incl, s_upper = _tri_matrices(CS)
     moments = _moment_matrix(tile_x, pix)                 # [PIX, 6]
@@ -219,12 +225,11 @@ def _bwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm,
         start = tile_start_ref[t]
         end = tile_end_ref[t]
         base = pl.multiple_of((start // CS) * CS, CS)
-        px, py = _pixel_rows(t, gx, tile_x, tile_y, pix,
-                             row_phase=rowp_ref[0], row_stride=row_stride)
+        trow = _global_trow(t, gx, rowp_ref, row_stride, use_row_map)
+        px, py = _pixel_rows(t, gx, tile_x, tile_y, pix, trow)
         # tile origin: pixel coords = origin + local (moment expansion frame)
         ox = (t % gx).astype(jnp.float32) * tile_x
-        oy = (((t // gx) * row_stride + rowp_ref[0])
-              .astype(jnp.float32) * tile_y)
+        oy = trow.astype(jnp.float32) * tile_y
 
         dldc = dout_ref[tb, 0:3]                          # [3, PIX]
         dldi = dout_ref[tb, 3:4]                          # [1, PIX]
@@ -374,6 +379,9 @@ class _Statics(NamedTuple):
     tiles_per_program: int = 1   # fwd grid batching (amortizes per-program
                                  # overhead; tile count is padded to a multiple)
     row_stride: int = 1          # interleaved multi-chip tile-row assignment
+    use_row_map: bool = False    # row_phase arg is a [gy_local] global-row
+                                 # map instead of a [1] phase (cost-balanced
+                                 # multi-chip bands)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -426,7 +434,8 @@ def _raster_tiles_fwd(feats, tile_start, tile_end, row_phase,
                                max_chunks=s.max_chunks,
                                tiles_per_program=tbp,
                                row_stride=s.row_stride,
-                               save_ustore=save_ustore)
+                               save_ustore=save_ustore,
+                               use_row_map=s.use_row_map)
     out, ustore = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -481,7 +490,8 @@ def _raster_tiles_bwd(statics: _Statics, residuals, dout):
                                tile_y=s.tile_y, pix=pix,
                                max_chunks=s.max_chunks,
                                row_stride=s.row_stride,
-                               tiles_per_program=tbp)
+                               tiles_per_program=tbp,
+                               use_row_map=s.use_row_map)
     zeros = jnp.zeros_like(feats)
     dfeats = pl.pallas_call(
         kernel,
@@ -501,12 +511,13 @@ _raster_tiles.defvjp(_raster_tiles_fwd, _raster_tiles_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _bin_with_payload(packets, proj_sg, dims, row_phase):
+def _bin_with_payload(packets, proj_sg, dims, rowinfo):
     """Binning with the packet columns carried through the sort; VJP routes
     d(sorted packets) back to packets via the sort-based segment sum. The
     geometry inputs are stop-gradient'd (binning is integer-valued, exactly
-    like the CUDA sort stage)."""
-    out, _ = _bin_with_payload_fwd(packets, proj_sg, dims, row_phase)
+    like the CUDA sort stage). ``rowinfo`` = (row_phase [1], row_map,
+    row_cumown) — the latter two are dummies unless dims' has_row_map."""
+    out, _ = _bin_with_payload_fwd(packets, proj_sg, dims, rowinfo)
     return out
 
 
@@ -531,9 +542,12 @@ def _unpack_bf16_pair(x):
     return pair[..., 0].astype(jnp.float32), pair[..., 1].astype(jnp.float32)
 
 
-def _bin_with_payload_fwd(packets, proj_sg, dims, row_phase):
+def _bin_with_payload_fwd(packets, proj_sg, dims, rowinfo):
     (width, height, tile_x, tile_y, dup_capacity, row_stride, bf16,
-     expand, interp, exact_cull, _fold) = dims
+     expand, interp, exact_cull, _fold, has_row_map) = dims
+    row_phase, row_map, row_cumown = rowinfo
+    if not has_row_map:
+        row_map = row_cumown = None
     if bf16:
         # stream rgb+invdepth as bf16 pairs: 10 -> 8 payload columns through
         # the expansion and the sort (the HBM-heavy stages). Geometry
@@ -550,7 +564,8 @@ def _bin_with_payload_fwd(packets, proj_sg, dims, row_phase):
     bins, sorted_cols = bin_gaussians_payload(
         proj_sg, pk, width, height, tile_x, tile_y, dup_capacity,
         row_phase=row_phase[0], row_stride=row_stride,
-        expand=expand, expand_interpret=interp, exact_cull=exact_cull)
+        expand=expand, expand_interpret=interp, exact_cull=exact_cull,
+        row_map=row_map, row_cumown=row_cumown)
     if bf16:
         r, g = _unpack_bf16_pair(sorted_cols[6])
         b, invd = _unpack_bf16_pair(sorted_cols[7])
@@ -562,7 +577,7 @@ def _bin_with_payload_fwd(packets, proj_sg, dims, row_phase):
     # tile region)
     gid_sent = bins.entry_gid
     return (bins, sorted_cols), (gid_sent, bins.gauss_counts, n, proj_sg,
-                                 bins.overflow)
+                                 bins.overflow, rowinfo)
 
 
 def _zero_tangent(x):
@@ -573,7 +588,7 @@ def _zero_tangent(x):
 
 
 def _bin_with_payload_bwd(dims, residuals, cot):
-    gid_sent, counts_orig, n, proj_sg, overflow = residuals
+    gid_sent, counts_orig, n, proj_sg, overflow, _rowinfo = residuals
     _, d_cols = cot                      # TileBins cotangents are float0
     interp, fold = dims[8], dims[10]
     if fold:
@@ -603,9 +618,9 @@ def _bin_with_payload_bwd(dims, residuals, cot):
     # re-jits with bigger buffers (train/loop.py::_handle_overflow)
     d_packets = jnp.where(overflow, jnp.zeros_like(d_packets), d_packets)
     d_proj = jax.tree.map(_zero_tangent, proj_sg)
-    import numpy as _np
-    d_phase = _np.zeros((1,), jax.dtypes.float0)   # int input, no tangent
-    return d_packets, d_proj, d_phase
+    # rowinfo is integer-valued (phase/map/cumown) — no tangents
+    d_rowinfo = jax.tree.map(_zero_tangent, residuals[5])
+    return d_packets, d_proj, d_rowinfo
 
 
 _bin_with_payload.defvjp(_bin_with_payload_fwd, _bin_with_payload_bwd)
@@ -619,14 +634,17 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
                      bf16_features: bool = False,
                      pallas_expand: bool = False,
                      exact_cull: bool = False,
-                     pallas_fold: bool = False):
+                     pallas_fold: bool = False,
+                     row_map=None, row_cumown=None):
     """Render via the Pallas tile kernel; differentiable w.r.t. ``proj``
     through the packet features.
 
     ``row_phase`` (traced) / ``row_stride`` (static) render only the global
     tile rows phase + j*stride into a height-``height`` local image —
     the interleaved multi-chip band assignment (packets keep global
-    coordinates).
+    coordinates). ``row_map`` [gy_local] (traced, ascending global rows)
+    with ``row_cumown`` [gy_global+1] (exclusive owned-row prefix) instead
+    renders an ARBITRARY row set — the cost-balanced band assignment.
 
     Returns (image [3,H,W], invdepth [1,H,W], finalT [H,W],
     num_duplicates, max_tile_len, overflow)."""
@@ -644,6 +662,16 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
         row_phase = jnp.zeros((1,), jnp.int32)
     else:
         row_phase = jnp.reshape(row_phase, (1,)).astype(jnp.int32)
+    has_row_map = row_map is not None
+    if has_row_map:
+        row_map = row_map.astype(jnp.int32)
+        row_cumown = row_cumown.astype(jnp.int32)
+        assert row_map.shape[0] == gy, (row_map.shape, gy)
+        rowp_kernel = row_map                       # [gy] map for the kernel
+    else:
+        row_map = jnp.zeros((1,), jnp.int32)        # dummies (traced args)
+        row_cumown = jnp.zeros((1,), jnp.int32)
+        rowp_kernel = row_phase
 
     packets = pack_projected(proj)                       # [N, 10]
     if pallas_expand:
@@ -656,8 +684,8 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
         (width, height, tile_x, tile_y, dup_capacity, row_stride,
          bool(bf16_features),
          "pallas" if pallas_expand else "repeat", interpret,
-         bool(exact_cull), bool(pallas_fold)),
-        row_phase)                                       # 10 x [D]
+         bool(exact_cull), bool(pallas_fold), has_row_map),
+        (row_phase, row_map, row_cumown))                # 10 x [D]
     # stack along axis 0: each sorted column becomes one contiguous feature
     # row — no [D, 10] <-> [10, D] relayout anywhere on the hot path
     feats = jnp.concatenate(
@@ -668,8 +696,8 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
     statics = _Statics(num_tiles=num_tiles, gx=gx, tile_x=tile_x,
                        tile_y=tile_y, max_chunks=max_chunks,
                        interpret=interpret, tiles_per_program=4,
-                       row_stride=row_stride)
-    out = _raster_tiles(feats, bins.tile_start, bins.tile_end, row_phase,
+                       row_stride=row_stride, use_row_map=has_row_map)
+    out = _raster_tiles(feats, bins.tile_start, bins.tile_end, rowp_kernel,
                         statics)
 
     color = out[:, 0:3, :]                               # [T, 3, PIX]

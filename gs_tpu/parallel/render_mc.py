@@ -37,10 +37,63 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.camera import Camera
 from ..core.gaussians import GaussianParams
-from ..core.project import Projected, preprocess
+from ..core.project import Projected, preprocess, tile_rect
 from ..ops.binning import tile_grid
 from ..render import RenderOutput, render_projected
 from .mesh import GAUSS_AXIS
+
+
+def _row_costs(proj, gx, gy_glob, tile_x, tile_y):
+    """Per-global-tile-row duplicate cost of this shard's gaussians.
+
+    cost[r] = sum over gaussians whose cull rect covers row r of the rect
+    width — exactly the entries row r contributes to binning. Computed with
+    two tiny 2-op sorts + cumsum + a gy-query searchsorted (a scatter-add
+    histogram would serialize; gy is tiny so the searchsorted is cheap)."""
+    if proj.radius_cull is not None:
+        rcull = proj.radius_cull
+    else:
+        rcull = jnp.stack([proj.radius, proj.radius], axis=1)
+    rx_ = rcull[:, 0].astype(jnp.int32)
+    ry_ = rcull[:, 1].astype(jnp.int32)
+    rx0, gy0, rx1, gy1 = tile_rect(proj.mean2d, rx_, gx, gy_glob,
+                                   tile_x, tile_y, radius_y=ry_)
+    vis = proj.visible & (rx_ > 0) & (ry_ > 0)
+    w = jnp.where(vis & (gy1 > gy0), (rx1 - rx0).astype(jnp.float32), 0.0)
+    rows = jnp.arange(gy_glob, dtype=jnp.int32)
+
+    def prefix_at(keys, rq):
+        ks, ws = jax.lax.sort((keys, w), dimension=0, num_keys=1)
+        cw = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(ws)])
+        return cw[jnp.searchsorted(ks, rq, side='right')]
+
+    # covers r  <=>  gy0 <= r  and  not (gy1 <= r)
+    return prefix_at(gy0, rows) - prefix_at(gy1, rows)
+
+
+def _snake_row_map(cost, k, band_rows, me):
+    """Deal the gy rows to k devices by descending cost in snake order
+    (LPT-style); returns this device's ascending global-row list and the
+    exclusive owned-row prefix table.
+
+    Exact balance is NP-hard; the snake on sorted costs bounds the max
+    band at (sum/k + max_row_cost) and measured <1.2x on centered scenes
+    where strided rows hit 2.5x (MULTICHIP_r03)."""
+    gy_glob = cost.shape[0]
+    order = jnp.argsort(-cost)                        # rows by cost desc
+    pos = jnp.arange(gy_glob, dtype=jnp.int32)
+    rnd, rin = pos // k, pos % k
+    dev_sorted = jnp.where(rnd % 2 == 0, rin, k - 1 - rin)
+    dev_of_row = jnp.zeros((gy_glob,), jnp.int32).at[order].set(dev_sorted)
+    # rows grouped by device, ascending within each (tiny 2-op sort)
+    _, rows_grouped = jax.lax.sort(
+        (dev_of_row * gy_glob + pos, pos), dimension=0, num_keys=1)
+    row_map = jax.lax.dynamic_slice(rows_grouped, (me * band_rows,),
+                                    (band_rows,))
+    own = jnp.zeros((gy_glob,), jnp.int32).at[row_map].set(1)
+    cumown = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(own)])
+    return row_map, cumown
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -79,7 +132,8 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
                      max_per_tile: int = 1024,
                      chunk: int = 64,
                      packed_sh_degree: Optional[int] = None,
-                     visible_capacity: int = 0) -> RenderOutput:
+                     visible_capacity: int = 0,
+                     band_assign: str = "cost") -> RenderOutput:
     """Render one view with gaussians sharded over ``mesh`` (axis 'gauss').
 
     ``dup_capacity`` is PER DEVICE (each band bins only the entries that
@@ -101,6 +155,11 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
     has more visible gaussians than the cap, ``overflow`` is raised (same
     contract as the binning capacities: the trainer grows + replays).
     0 disables compaction (full-capacity gather, round-3 behavior).
+
+    ``band_assign``: "cost" (default) deals global tile rows to devices by
+    descending per-row duplicate cost in snake order, recomputed every
+    frame from the projected rects; "stride" is the fixed interleaved
+    assignment (device d owns rows d, d+k, ...).
     """
     k = mesh.devices.size
     width, height = camera.width, camera.height
@@ -172,9 +231,8 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
                                            tiled=True)
             vis_overflow = jnp.bool_(False)
 
-        # coordinates stay GLOBAL; this device renders the interleaved tile
-        # rows phase + j*k (adjacent image rows have similar splat load, so
-        # sky-vs-ground scenes stay balanced where contiguous bands hit 3x+)
+        # coordinates stay GLOBAL; this device renders its assigned set of
+        # global tile rows
         phase = jax.lax.axis_index(GAUSS_AXIS).astype(jnp.int32)
         proj_band = Projected(
             mean2d=packets_full[:, 0:2],
@@ -186,26 +244,54 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
             visible=geom_full[:, 2] > 0.5,
             radius_cull=geom_full[:, 3:5].astype(jnp.int32),
         )
-        out = render_projected(proj_band, width, band_h, bg_in,
-                               backend=backend, dup_capacity=dup_capacity,
-                               max_per_tile=max_per_tile, chunk=chunk,
-                               row_phase=phase, row_stride=k)
+        if band_assign == "cost":
+            # per-frame cost-balanced rows: duplicate cost per global row
+            # (psum of each shard's histogram), dealt in snake order —
+            # the strided assignment hits 2.5x band imbalance on centered
+            # scenes (MULTICHIP_r03 band_dups); this bounds it near 1x
+            cost = jax.lax.psum(
+                _row_costs(proj, gx, gy_pad, tile_x, tile_y), GAUSS_AXIS)
+            row_map, cumown = _snake_row_map(cost, k, band_rows, phase)
+            out = render_projected(proj_band, width, band_h, bg_in,
+                                   backend=backend,
+                                   dup_capacity=dup_capacity,
+                                   max_per_tile=max_per_tile, chunk=chunk,
+                                   row_map=row_map, row_cumown=cumown)
+            # inverse permutation of the gathered row order (replicated:
+            # every device derives the same assignment from the psum'd cost)
+            flat = jax.lax.all_gather(row_map, GAUSS_AXIS,
+                                      axis=0).reshape(-1)   # [gy_pad]
+            inv = jnp.argsort(flat)
+        else:
+            # strided rows: device d renders global rows d + j*k
+            out = render_projected(proj_band, width, band_h, bg_in,
+                                   backend=backend,
+                                   dup_capacity=dup_capacity,
+                                   max_per_tile=max_per_tile, chunk=chunk,
+                                   row_phase=phase, row_stride=k)
+            inv = None
 
-        def reinterleave(x, ax):
+        def reassemble(x, ax):
             """all_gather the per-device row groups and restore global row
-            order (global tile row = device + j*k)."""
+            order (strided: global row = device + j*k; cost: via the
+            assignment's inverse permutation)."""
             g = jax.lax.all_gather(x, GAUSS_AXIS, axis=0)   # [k, ...]
             g = jnp.moveaxis(g, 0, ax)                      # k at axis ax
             shape = list(g.shape)
             g = g.reshape(shape[:ax] + [k, band_rows, tile_y]
                           + shape[ax + 2:])
-            g = jnp.swapaxes(g, ax, ax + 1)   # [band_rows, k, tile_y]
+            if inv is None:
+                g = jnp.swapaxes(g, ax, ax + 1)  # [band_rows, k, tile_y]
+            else:
+                g = g.reshape(shape[:ax] + [k * band_rows, tile_y]
+                              + shape[ax + 2:])
+                g = jnp.take(g, inv, axis=ax)    # [gy_pad, tile_y]
             return g.reshape(shape[:ax] + [band_rows * k * tile_y]
                              + shape[ax + 2:])
 
-        image = reinterleave(out.image, 1)                  # [3, gy_pad*ty, W]
-        invd = reinterleave(out.invdepth, 1)
-        finalT = reinterleave(out.final_T, 0)
+        image = reassemble(out.image, 1)                    # [3, gy_pad*ty, W]
+        invd = reassemble(out.invdepth, 1)
+        finalT = reassemble(out.final_T, 0)
         # per-gaussian stats (non-differentiable): straight from the LOCAL
         # shard's projection — identical values to slicing the gathered
         # geometry back, without depending on what entered the collective

@@ -119,7 +119,8 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
                      bf16_features: bool = False,
                      pallas_expand: bool = False,
                      exact_cull: bool = False,
-                     pallas_fold: bool = False) -> RenderOutput:
+                     pallas_fold: bool = False,
+                     row_map=None, row_cumown=None) -> RenderOutput:
     """``row_phase`` (traced ok) / ``row_stride`` (static): render only the
     global tile rows phase + j*stride into the local height — the
     interleaved multi-chip band assignment (parallel/render_mc.py)."""
@@ -132,11 +133,12 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
         nd, ml, ov = zero_i, zero_i, jnp.bool_(False)
     elif backend == "binned":
         bins = bin_gaussians(proj, width, height, TILE_X, TILE_Y, dup_capacity,
-                             row_phase=row_phase, row_stride=row_stride)
+                             row_phase=row_phase, row_stride=row_stride,
+                             row_map=row_map, row_cumown=row_cumown)
         image, invd, finalT = rasterize_binned(
             proj, bins, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y,
             max_per_tile=max_per_tile, chunk=chunk, tile_block=tile_block,
-            row_phase=row_phase, row_stride=row_stride)
+            row_phase=row_phase, row_stride=row_stride, row_map=row_map)
         nd = bins.num_duplicates
         ml = jnp.max(bins.tile_end - bins.tile_start)
         ov = bins.overflow | (ml > max_per_tile)
@@ -150,7 +152,8 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
             bf16_features=bf16_features,
             pallas_expand=pallas_expand,
             exact_cull=exact_cull,
-            pallas_fold=pallas_fold)
+            pallas_fold=pallas_fold,
+            row_map=row_map, row_cumown=row_cumown)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return RenderOutput(image=image, invdepth=invd, final_T=finalT,

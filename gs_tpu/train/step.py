@@ -101,7 +101,9 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    chunk=raster.chunk,
                                    packed_sh_degree=max_sh_degree,
                                    visible_capacity=getattr(
-                                       raster, "visible_capacity", 0))
+                                       raster, "visible_capacity", 0),
+                                   band_assign=getattr(
+                                       raster, "band_assign", "cost"))
         elif packed:
             masked = mask_sh_rows(params, lay, active_sh_degree)
             proj = preprocess_packed(masked, cam, sh_degree=max_sh_degree,
@@ -135,7 +137,9 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    max_per_tile=raster.max_per_tile,
                                    chunk=raster.chunk,
                                    visible_capacity=getattr(
-                                       raster, "visible_capacity", 0))
+                                       raster, "visible_capacity", 0),
+                                   band_assign=getattr(
+                                       raster, "band_assign", "cost"))
         else:
             masked = mask_sh_rest(params, active_sh_degree)
             proj = preprocess(masked, cam, active_sh_degree=max_sh_degree,

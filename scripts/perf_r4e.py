@@ -98,7 +98,7 @@ def main():
                 base = pl.multiple_of((start // CS) * CS, CS)
                 nchunks = jnp.minimum(pl.cdiv(end - base, CS), max_chunks)
                 px, py = _pixel_rows(t, gx, TX, TY, PIX,
-                                     row_phase=rowp_ref[0], row_stride=1)
+                                     rowp_ref[0] + (t // gx))
                 out_ref[tb] = jnp.zeros((8, PIX), jnp.float32)
                 out_ref[tb, 4:5] = jnp.ones((1, PIX), jnp.float32)
                 out_ref[tb, 5:6] = jnp.ones((1, PIX), jnp.float32)
