@@ -64,7 +64,11 @@ def _watchdog():
         os._exit(2)
 
 
-threading.Thread(target=_watchdog, daemon=True).start()
+# arm only when run as the bench; importing bench as a library (the perf
+# probe scripts reuse build_scene/CAPS) must not start a kill timer —
+# perf_r4g died to exactly that
+if __name__ == "__main__":
+    threading.Thread(target=_watchdog, daemon=True).start()
 
 import numpy as np
 
