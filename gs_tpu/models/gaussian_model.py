@@ -148,17 +148,29 @@ def group_lrs(opt: OptimizationConfig, step, spatial_lr_scale: float) -> Gaussia
 
 def adam_update(state: TrainState, grads: GaussianParams,
                 lrs: GaussianParams,
-                visible_mask: Optional[jnp.ndarray] = None) -> TrainState:
-    """Dense Adam, or sparse (row-masked) when ``visible_mask`` is given."""
-    step = state.step + 1
+                visible_mask: Optional[jnp.ndarray] = None,
+                valid=None) -> TrainState:
+    """Dense Adam, or sparse (row-masked) when ``visible_mask`` is given.
+
+    ``valid`` False makes the whole update an exact no-op (incl. the step
+    counter) — the block-scan's masked-tail gate, fused into the update
+    (see packed_state.adam_update_packed)."""
+    if valid is None:
+        step = state.step + 1
+    else:
+        step = state.step + valid.astype(state.step.dtype)
     t = step.astype(jnp.float32)
     bc1 = 1.0 - ADAM_B1 ** t
     bc2 = 1.0 - ADAM_B2 ** t
 
     def masked(new, old, p):
-        if visible_mask is None:
+        mask = None
+        if visible_mask is not None:
+            mask = visible_mask.reshape((-1,) + (1,) * (p.ndim - 1))
+        if valid is not None:
+            mask = valid if mask is None else (mask & valid)
+        if mask is None:
             return new
-        mask = visible_mask.reshape((-1,) + (1,) * (p.ndim - 1))
         return jnp.where(mask, new, old)
 
     m = jax.tree.map(lambda g, m, p: masked(ADAM_B1 * m + (1 - ADAM_B1) * g, m, p),
@@ -173,17 +185,25 @@ def adam_update(state: TrainState, grads: GaussianParams,
 
 
 def exposure_update(state: TrainState, exp_grad: jnp.ndarray,
-                    opt: OptimizationConfig, iteration) -> TrainState:
+                    opt: OptimizationConfig, iteration,
+                    valid=None) -> TrainState:
     lr = expon_lr(iteration, opt.exposure_lr_init, opt.exposure_lr_final,
                   lr_delay_steps=opt.exposure_lr_delay_steps,
                   lr_delay_mult=opt.exposure_lr_delay_mult,
                   max_steps=opt.iterations)
-    step = state.exp_step + 1
+    if valid is None:
+        step = state.exp_step + 1
+    else:
+        step = state.exp_step + valid.astype(state.exp_step.dtype)
     t = step.astype(jnp.float32)
     m = ADAM_B1 * state.exp_m + (1 - ADAM_B1) * exp_grad
     v = ADAM_B2 * state.exp_v + (1 - ADAM_B2) * exp_grad ** 2
     p = state.exposure - lr * (m / (1 - ADAM_B1 ** t)) / (
         jnp.sqrt(v / (1 - ADAM_B2 ** t)) + EXP_ADAM_EPS)
+    if valid is not None:
+        m = jnp.where(valid, m, state.exp_m)
+        v = jnp.where(valid, v, state.exp_v)
+        p = jnp.where(valid, p, state.exposure)
     return state._replace(exposure=p, exp_m=m, exp_v=v, exp_step=step)
 
 

@@ -104,25 +104,38 @@ def group_lr_rows(lay: PackedLayout, opt: OptimizationConfig, step,
 
 def adam_update_packed(ps: PackedState, grad: jnp.ndarray,
                        lr: jnp.ndarray,
-                       visible_mask: Optional[jnp.ndarray] = None
-                       ) -> PackedState:
+                       visible_mask: Optional[jnp.ndarray] = None,
+                       valid=None) -> PackedState:
     """Dense Adam (or row-masked sparse Adam) — one fused elementwise pass.
 
     Same math/constants as gaussian_model.adam_update (eps 1e-15,
     ref: gaussian_model.py:170; sparse row masking ref: train.py:173-175).
+
+    ``valid`` (traced bool scalar): False makes the whole update an EXACT
+    no-op (params, moments, AND the step counter). The block-scan's masked
+    tail steps gate here, fused into the update's own elementwise pass — a
+    post-hoc tree-wide select measured 65 ms/step at the bench shape (it
+    keeps the old state alive across the step, forcing full-state copies).
     """
-    step = ps.step + 1
+    if valid is None:
+        step = ps.step + 1
+    else:
+        step = ps.step + valid.astype(ps.step.dtype)
     t = step.astype(jnp.float32)
     bc1 = 1.0 - ADAM_B1 ** t
     bc2 = 1.0 - ADAM_B2 ** t
     m = ADAM_B1 * ps.m + (1 - ADAM_B1) * grad
     v = ADAM_B2 * ps.v + (1 - ADAM_B2) * grad * grad
     p = ps.packed - lr * (m / bc1) / (jnp.sqrt(v / bc2) + ADAM_EPS)
+    gate = None
     if visible_mask is not None:
-        vm = visible_mask[None, :]
-        m = jnp.where(vm, m, ps.m)
-        v = jnp.where(vm, v, ps.v)
-        p = jnp.where(vm, p, ps.packed)
+        gate = visible_mask[None, :]
+    if valid is not None:
+        gate = valid if gate is None else (gate & valid)
+    if gate is not None:
+        m = jnp.where(gate, m, ps.m)
+        v = jnp.where(gate, v, ps.v)
+        p = jnp.where(gate, p, ps.packed)
     return ps._replace(packed=p, m=m, v=v, step=step)
 
 

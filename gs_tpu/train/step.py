@@ -184,7 +184,12 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
     grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
 
     def step_core(state: TrainState, cam_idx, gt_image, alpha_mask,
-                  invdepth_gt, depth_mask, depth_ok, iteration, key):
+                  invdepth_gt, depth_mask, depth_ok, iteration, key,
+                  valid=None):
+        # ``valid`` (traced bool scalar, block-scan masked-tail steps):
+        # False computes the full loss/metrics but leaves the state EXACTLY
+        # unchanged. Gated inside each update (fused selects); the previous
+        # post-hoc tree-wide select measured 65 ms/step at the bench shape.
         cam = cams.select(cam_idx)
         active_sh_degree = jnp.minimum(iteration // 1000, max_sh_degree)
 
@@ -203,26 +208,30 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
         out, ll1, ssim_v, dl1 = aux
 
         # densification statistics (only while densify is active,
-        # ref: train.py:157-160)
+        # ref: train.py:157-160). Masked, not lax.cond-wrapped: the cond
+        # returned the FULL state from both branches, which forces
+        # whole-state copies — the stats arrays are [C]-small, so an
+        # always-run masked update is cheaper and identical
         in_densify = iteration < opt.densify_until_iter
-        state = jax.lax.cond(
-            in_densify,
-            lambda s: add_densification_stats(s, tap_grad, out.visibility,
-                                              width, height, out.radii),
-            lambda s: s,
-            state)
+        stats_gate = out.visibility & in_densify
+        if valid is not None:
+            stats_gate = stats_gate & valid
+        state = add_densification_stats(state, tap_grad, stats_gate,
+                                        width, height, out.radii)
 
         visible = out.visibility if use_sparse else None
         if packed:
             lr = group_lr_rows(lay, opt, iteration, spatial_lr_scale)
-            state = adam_update_packed(state, pgrads, lr, visible)
+            state = adam_update_packed(state, pgrads, lr, visible,
+                                       valid=valid)
         else:
             lrs = group_lrs(opt, iteration, spatial_lr_scale)
-            state = adam_update(state, pgrads, lrs, visible)
+            state = adam_update(state, pgrads, lrs, visible, valid=valid)
 
         if use_exposure:
             full_exp_grad = jnp.zeros_like(state.exposure).at[cam_idx].set(exp_grad)
-            state = exposure_update(state, full_exp_grad, opt, iteration)
+            state = exposure_update(state, full_exp_grad, opt, iteration,
+                                    valid=valid)
 
         loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - ssim_v) + dl1
         mbv = (jnp.max(out.band_visible).astype(jnp.int32)
@@ -270,9 +279,8 @@ def make_train_steps_scan(train_step, *, use_alpha: bool, use_depth: bool):
                                     depth_oks[idx])
             else:
                 invd, dmask, dok = None, None, jnp.float32(0.0)
-            s2, m = core(s, idx, gt, alpha, invd, dmask, dok,
-                         start_iteration + off, key)
-            s = jax.tree.map(lambda a, b: jnp.where(v, a, b), s2, s)
+            s, m = core(s, idx, gt, alpha, invd, dmask, dok,
+                        start_iteration + off, key, valid=v)
             return s, m
 
         k = idxs.shape[0]
