@@ -202,17 +202,21 @@ def measure_scene(kind: str, repeats: int) -> dict:
             x, _ = step_block(x)
         return float(x.xyz[0, 0])
 
-    def one_slope():
-        t0 = time.perf_counter(); run(1); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); run(3); t2 = time.perf_counter() - t0
-        return (t2 - t1) / 2
-    # tunnel noise is strictly additive: min of repeats is closest to truth.
-    # The full spread is recorded so round-over-round deltas can be judged
-    # against the actual run-to-run variance (VERDICT r3 weak 1: a 0.38-vs-
-    # 0.30 ambiguity must be readable off the artifact itself).
-    slopes = sorted(one_slope() for _ in range(max(repeats, 1)))
-    dt = slopes[0] / SCAN_STEPS
-    spread = [round(s / SCAN_STEPS, 4) for s in slopes]
+    # tunnel noise is strictly additive PER TIMED RUN, which makes
+    # min-of-SLOPES biased LOW: noise on the short run's t1 enters the
+    # slope (t3 - t1)/2 NEGATIVELY (one hiccup on t1 deflated a slope 27%
+    # in r4 — spread [0.101, 0.174, 0.174] on an unchanged binary). The
+    # robust estimator takes min over repeats of EACH endpoint separately:
+    # both mins converge to the true time from above, so their difference
+    # cannot be deflated. Per-repeat slopes are recorded as the spread so
+    # round-over-round deltas can be judged against actual variance.
+    t1s, t3s = [], []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter(); run(1); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); run(3); t3s.append(time.perf_counter() - t0)
+    dt = (min(t3s) - min(t1s)) / 2 / SCAN_STEPS
+    spread = sorted(round((b - a) / 2 / SCAN_STEPS, 4)
+                    for a, b in zip(t1s, t3s))
     return dict(dt=dt, nd=nd, ml=ml, overflow=overflow,
                 dup_capacity=dup_capacity, max_per_tile=max_per_tile,
                 spread=spread)
@@ -279,11 +283,12 @@ def measure_train_step(kind: str, repeats: int) -> dict:
             it += SCAN_STEPS
         return float(m.loss)
 
-    def one_slope():
-        t0 = time.perf_counter(); run(1); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); run(3); t2 = time.perf_counter() - t0
-        return (t2 - t1) / 2
-    dt = min(one_slope() for _ in range(max(repeats, 1))) / SCAN_STEPS
+    t1s, t3s = [], []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter(); run(1); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); run(3); t3s.append(time.perf_counter() - t0)
+    # min of each endpoint separately — see the headline slope's rationale
+    dt = (min(t3s) - min(t1s)) / 2 / SCAN_STEPS
     px = WIDTH * HEIGHT / dt
     return {"sec_per_train_step": round(dt, 4),
             "pixels_per_s": round(px, 1),
@@ -325,13 +330,14 @@ def measure_render_fps(kind: str, repeats: int) -> dict:
             x = frame(x)
         return float(x)
 
-    def one_slope():
-        # span >= ~0.5 s of frames: a 3-frame slope is smaller than the
-        # axon tunnel's RTT variance and measured NEGATIVE once (r4)
-        t0 = time.perf_counter(); run(1); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); run(13); t2 = time.perf_counter() - t0
-        return (t2 - t1) / 12
-    dt = min(one_slope() for _ in range(max(repeats, 1)))
+    # span >= ~0.5 s of frames (a 3-frame slope is smaller than the axon
+    # tunnel's RTT variance and measured NEGATIVE once in r4) and min each
+    # endpoint separately (additive noise cannot deflate the difference)
+    t1s, t13s = [], []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter(); run(1); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); run(13); t13s.append(time.perf_counter() - t0)
+    dt = (min(t13s) - min(t1s)) / 12
     if dt <= 1e-4:                       # slope lost under tunnel jitter
         return {"fps_1080p": None, "sec_per_frame": None,
                 "meets_30fps": None,
