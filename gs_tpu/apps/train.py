@@ -132,6 +132,11 @@ def main(argv=None):
         jax.config.update("jax_debug_nans", True)
 
     model_cfg = extract_dataclass(ModelConfig, args)
+    if model_cfg.data_device != "tpu":
+        print(f"[gs_tpu] note: --data_device {model_cfg.data_device!r} has "
+              "no effect here — training data lives in HBM (block-scan) or "
+              "host RAM (step mode) regardless; the flag is accepted only "
+              "for reference CLI compatibility (ref arguments/__init__.py)")
     opt = extract_dataclass(OptimizationConfig, args)
     pipe = extract_dataclass(PipelineConfig, args)
     raster = extract_dataclass(RasterConfig, args)
