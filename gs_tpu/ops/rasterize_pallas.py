@@ -215,7 +215,7 @@ def _bwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm,
                 out_fwd_ref, ustore_ref, dout_ref, zeros_hbm, dfeats_hbm,
                 fbuf, dbuf_rd, dbuf_wr, sem_in, sem_rd, sem_wr, *,
                 gx, tile_x, tile_y, pix, max_chunks, row_stride,
-                tiles_per_program, use_row_map=False):
+                tiles_per_program, use_row_map=False, skip_read=False):
     del zeros_hbm  # aliased into dfeats_hbm (zero initialization)
     l_incl, s_upper = _tri_matrices(CS)
     moments = _moment_matrix(tile_x, pix)                 # [PIX, 6]
@@ -255,10 +255,25 @@ def _bwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm,
                 dfeats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
                 sem_wr.at[slot])
 
+        # skip_read: a d-chunk read is needed ONLY for the tile's HEAD
+        # chunk when it starts mid-chunk (start > base): entries before
+        # ``start`` there belong to earlier tiles, which the ascending
+        # grid already processed and wrote. Every other chunk of this
+        # tile's span is a FIRST write — later tiles sharing the tail
+        # chunk read-add on top, and the region between ``end`` and the
+        # chunk boundary is masked to zero over the aliased-zeros init.
+        def need_rd(k, start=start, base=base):
+            if not skip_read:
+                return k >= 0            # always (old behavior)
+            return (k == 0) & (start > base)
+
         @pl.when(kproc > 0)
-        def _(kproc=kproc, base=base):
+        def _(kproc=kproc, base=base, start=start):
             _chunk_dma(feats_hbm, fbuf, sem_in, base, kproc - 1, 0).start()
-            rd_dma(0, kproc - 1).start()
+
+            @pl.when(need_rd(kproc - 1, start, base))
+            def _():
+                rd_dma(0, kproc - 1).start()
 
         def body2(j, carry, kproc=kproc, base=base, start=start, end=end,
                   px=px, py=py, ox=ox, oy=oy, dldc=dldc, dldi=dldi,
@@ -271,10 +286,16 @@ def _bwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm,
             def _():
                 _chunk_dma(feats_hbm, fbuf, sem_in, base, k - 1,
                            1 - slot).start()
-                rd_dma(1 - slot, k - 1).start()
+
+                @pl.when(need_rd(k - 1, start, base))
+                def _():
+                    rd_dma(1 - slot, k - 1).start()
 
             _chunk_dma(feats_hbm, fbuf, sem_in, base, k, slot).wait()
-            rd_dma(slot, k).wait()
+
+            @pl.when(need_rd(k, start, base))
+            def _():
+                rd_dma(slot, k).wait()
             f = fbuf[slot].T                         # [CS, NFEAT]
             vmask = _entry_mask(base, k, start, end)
             alpha, g, opg, dx, dy, gate = _chunk_alpha(f, vmask, px, py)
@@ -352,7 +373,16 @@ def _bwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm,
             @pl.when(pending >= 0)
             def _():
                 wr_dma(slot, pending).wait()
-            dbuf_wr[slot] = dbuf_rd[slot] + dgrad.T
+            if skip_read:
+                @pl.when(need_rd(k, start, base))
+                def _():
+                    dbuf_wr[slot] = dbuf_rd[slot] + dgrad.T
+
+                @pl.when(~need_rd(k, start, base))
+                def _():
+                    dbuf_wr[slot] = dgrad.T
+            else:
+                dbuf_wr[slot] = dbuf_rd[slot] + dgrad.T
             wr_dma(slot, k).start()
             wk0 = jnp.where(slot == 0, k, wk0)
             wk1 = jnp.where(slot == 1, k, wk1)
@@ -382,6 +412,9 @@ class _Statics(NamedTuple):
     use_row_map: bool = False    # row_phase arg is a [gy_local] global-row
                                  # map instead of a [1] phase (cost-balanced
                                  # multi-chip bands)
+    bwd_skip_read: bool = False  # backward d-chunk DMA reads only for
+                                 # shared head chunks (exact; see
+                                 # _bwd_kernel skip_read)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -491,7 +524,8 @@ def _raster_tiles_bwd(statics: _Statics, residuals, dout):
                                max_chunks=s.max_chunks,
                                row_stride=s.row_stride,
                                tiles_per_program=tbp,
-                               use_row_map=s.use_row_map)
+                               use_row_map=s.use_row_map,
+                               skip_read=s.bwd_skip_read)
     zeros = jnp.zeros_like(feats)
     dfeats = pl.pallas_call(
         kernel,
@@ -635,6 +669,7 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
                      pallas_expand: bool = False,
                      exact_cull: bool = False,
                      pallas_fold: bool = False,
+                     bwd_skip_read: bool = False,
                      row_map=None, row_cumown=None):
     """Render via the Pallas tile kernel; differentiable w.r.t. ``proj``
     through the packet features.
@@ -696,7 +731,8 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
     statics = _Statics(num_tiles=num_tiles, gx=gx, tile_x=tile_x,
                        tile_y=tile_y, max_chunks=max_chunks,
                        interpret=interpret, tiles_per_program=4,
-                       row_stride=row_stride, use_row_map=has_row_map)
+                       row_stride=row_stride, use_row_map=has_row_map,
+                       bwd_skip_read=bool(bwd_skip_read))
     out = _raster_tiles(feats, bins.tile_start, bins.tile_end, rowp_kernel,
                         statics)
 

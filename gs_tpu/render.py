@@ -69,7 +69,8 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
            bf16_features: bool = False,
            pallas_expand: bool = False,
            exact_cull: bool = False,
-           pallas_fold: bool = False) -> RenderOutput:
+           pallas_fold: bool = False,
+           bwd_skip_read: bool = False) -> RenderOutput:
     """Render one view. Differentiable w.r.t. ``params`` (and bg).
 
     ``convert_SHs_python`` / ``compute_cov3D_python`` recompute SH shading /
@@ -108,7 +109,8 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
                             bf16_features=bf16_features,
                             pallas_expand=pallas_expand,
                             exact_cull=exact_cull,
-                            pallas_fold=pallas_fold)
+                            pallas_fold=pallas_fold,
+                            bwd_skip_read=bwd_skip_read)
 
 
 def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
@@ -120,6 +122,7 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
                      pallas_expand: bool = False,
                      exact_cull: bool = False,
                      pallas_fold: bool = False,
+                     bwd_skip_read: bool = False,
                      row_map=None, row_cumown=None) -> RenderOutput:
     """``row_phase`` (traced ok) / ``row_stride`` (static): render only the
     global tile rows phase + j*stride into the local height — the
@@ -153,6 +156,7 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
             pallas_expand=pallas_expand,
             exact_cull=exact_cull,
             pallas_fold=pallas_fold,
+            bwd_skip_read=bwd_skip_read,
             row_map=row_map, row_cumown=row_cumown)
     else:
         raise ValueError(f"unknown backend {backend!r}")
