@@ -468,6 +468,16 @@ def main():
     _HEADLINE_OUT.set()
 
     extra = {}
+
+    def emit():
+        # re-print the combined line after EVERY extra: a driver timeout
+        # mid-extras then still leaves the fullest line as the last line
+        # (r4: heavy_tail+fps+train exceed 600 s through the tunnel's
+        # per-executable first-fetch warmup, and the single final print
+        # was lost to the kill)
+        head["detail"].update(extra)
+        print(json.dumps(head), flush=True)
+
     # ---- heavy-tail scene first among the extras: it is part of the
     # combined line's scene coverage (fps/train are secondary numbers and
     # previously starved it out of the 600 s driver budget) ---------------
@@ -486,6 +496,7 @@ def main():
             }
         except Exception as e:  # never lose the headline to the extra scene
             extra["heavy_tail"] = {"error": repr(e)}
+        emit()
 
     # fps + real train step are ON by default (VERDICT r3 item 4: these are
     # the two numbers users compare — ref >=30 fps @1080p README.md:14 and
@@ -497,22 +508,21 @@ def main():
             extra["render_fps"] = measure_render_fps("uniform", repeats)
         except Exception as e:
             extra["render_fps"] = {"error": repr(e)}
+        emit()
     if (os.environ.get("GS_BENCH_TRAIN", "1") != "0"
             and time.perf_counter() - T_START < 0.8 * BUDGET_S):
         try:
             extra["train_step"] = measure_train_step("uniform", repeats)
         except Exception as e:
             extra["train_step"] = {"error": repr(e)}
+        emit()
     if os.environ.get("GS_BENCH_STAGES"):
         params, alive = build_scene("uniform")
         extra["stages"] = stage_probes(params, alive, m["dup_capacity"],
                                        m["max_per_tile"], m["dt"])
 
-    if extra:
-        # final line repeats the headline metric/value so a last-line parser
-        # and a first-line parser read the same number
-        head["detail"].update(extra)
-        print(json.dumps(head), flush=True)
+    if os.environ.get("GS_BENCH_STAGES") and extra:
+        emit()
 
 
 if __name__ == "__main__":
