@@ -502,19 +502,19 @@ def main():
     # the two numbers users compare — ref >=30 fps @1080p README.md:14 and
     # ~18.5 it/s training); disable via GS_BENCH_FPS=0 / GS_BENCH_TRAIN=0.
     # Budget-guarded: each is skipped once past 0.6/0.8 of the budget.
-    if (os.environ.get("GS_BENCH_FPS", "1") != "0"
-            and time.perf_counter() - T_START < 0.6 * BUDGET_S):
-        try:
-            extra["render_fps"] = measure_render_fps("uniform", repeats)
-        except Exception as e:
-            extra["render_fps"] = {"error": repr(e)}
-        emit()
     if (os.environ.get("GS_BENCH_TRAIN", "1") != "0"
-            and time.perf_counter() - T_START < 0.8 * BUDGET_S):
+            and time.perf_counter() - T_START < 0.6 * BUDGET_S):
         try:
             extra["train_step"] = measure_train_step("uniform", repeats)
         except Exception as e:
             extra["train_step"] = {"error": repr(e)}
+        emit()
+    if (os.environ.get("GS_BENCH_FPS", "1") != "0"
+            and time.perf_counter() - T_START < 0.8 * BUDGET_S):
+        try:
+            extra["render_fps"] = measure_render_fps("uniform", repeats)
+        except Exception as e:
+            extra["render_fps"] = {"error": repr(e)}
         emit()
     if os.environ.get("GS_BENCH_STAGES"):
         params, alive = build_scene("uniform")
