@@ -90,7 +90,7 @@ BACKEND = "pallas_interpret" if os.environ.get("GS_BENCH_INTERPRET") else "palla
 # Round-4: capacities are TIERED (multiples of 512), not pow2 — every
 # D-linear stage (expansion, both big sorts, cumsums, fold) scales with the
 # padded capacity, and pow2 rounding was costing ~28% dead entries
-# (3.02M real -> 4.19M padded). 3.33M = measured duplicates + ~10% headroom.
+# (3.02M real -> 4.19M padded).
 CAPS = {
     # the scenes are deterministic (seeded): 3,022,338 / 3,004,846
     # duplicates exactly, every run — 3.072M (512-aligned) is a measured
