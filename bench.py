@@ -230,10 +230,12 @@ def measure_scene(kind: str, repeats: int) -> dict:
 def measure_train_step(kind: str, repeats: int) -> dict:
     """GS_BENCH_TRAIN=1: slope-time the REAL production training step — the
     packed-state channel-major layout, L1+SSIM loss, per-group Adam with LR
-    schedule, densification-stat accumulation — dispatched exactly as
-    ``--block_scan`` training does (make_train_steps_scan, SCAN_STEPS/block).
-    This is the number comparable to the reference's it/s (BASELINE.md's
-    27 min/30k includes its full step, not just render+grad)."""
+    schedule, densification-stat accumulation — dispatched exactly as block
+    training does (block_dispatch="chain": host-chained single-step gather
+    dispatches, ~60 ms/step faster than lax.scan on v5e, perf_r4h.log;
+    GS_BENCH_TRAIN_DISPATCH=scan measures the old scan mode). This is the
+    number comparable to the reference's it/s (BASELINE.md's 27 min/30k
+    includes its full step, not just render+grad)."""
     import jax
     import jax.numpy as jnp
     from gs_tpu.config import (ModelConfig, OptimizationConfig,
@@ -241,7 +243,8 @@ def measure_train_step(kind: str, repeats: int) -> dict:
     from gs_tpu.core.camera import make_camera, focal2fov, stack_cameras
     from gs_tpu.models.gaussian_model import init_state
     from gs_tpu.models.packed_state import pack_state
-    from gs_tpu.train.step import make_train_step, make_train_steps_scan
+    from gs_tpu.train.step import (make_train_step, make_train_step_chain,
+                                   make_train_steps_scan)
 
     params, alive = build_scene(kind)
     fovx = math.radians(70.0)
@@ -267,16 +270,27 @@ def measure_train_step(kind: str, repeats: int) -> dict:
         OptimizationConfig(iterations=30_000), ModelConfig(),
         PipelineConfig(), raster, cams, spatial_lr_scale=1.0,
         max_sh_degree=3, packed=True)
-    scan = make_train_steps_scan(step, use_alpha=False, use_depth=False)
     state0 = pack_state(init_state(params, alive, num_images=1))
 
     idxs = jnp.zeros((SCAN_STEPS,), jnp.int32)
     keys = jax.random.split(jax.random.key(0), SCAN_STEPS)
     valid = jnp.ones((SCAN_STEPS,), bool)
 
-    def block(s, it):
-        return scan(s, images, zeros1, zeros1, zeros1, zeros1,
-                    jnp.int32(it), idxs, keys, valid)
+    dispatch = os.environ.get("GS_BENCH_TRAIN_DISPATCH", "chain")
+    if dispatch == "chain":
+        step1 = make_train_step_chain(step, use_alpha=False, use_depth=False)
+
+        def block(s, it):
+            for j in range(SCAN_STEPS):
+                s, m = step1(s, images, zeros1, zeros1, zeros1, zeros1,
+                             jnp.int32(it + 1 + j), idxs[0], keys[j])
+            return s, m
+    else:
+        scan = make_train_steps_scan(step, use_alpha=False, use_depth=False)
+
+        def block(s, it):
+            return scan(s, images, zeros1, zeros1, zeros1, zeros1,
+                        jnp.int32(it), idxs, keys, valid)
 
     st, met = block(state0, 0)           # compile + warm
     overflow = bool(met.overflow)
@@ -298,14 +312,21 @@ def measure_train_step(kind: str, repeats: int) -> dict:
     return {"sec_per_train_step": round(dt, 4),
             "pixels_per_s": round(px, 1),
             "vs_baseline": round(px / BASELINE_PIXELS_PER_S, 4),
-            "overflow": overflow, "layout": "packed"}
+            "overflow": overflow, "layout": "packed",
+            "dispatch": dispatch}
 
 
 def measure_render_fps(kind: str, repeats: int) -> dict:
     """GS_BENCH_FPS=1: forward-only novel-view rendering throughput — the
     number behind the reference's ">= 30 fps at 1080p" viewer claim
     (BASELINE.md, README.md:14). No-grad renders skip the transmittance
-    checkpoint entirely (rasterize_pallas compiles without it)."""
+    checkpoint entirely (rasterize_pallas compiles without it).
+
+    Uses the VIEWER PROFILE: fwd_only (entry gids leave the tile sort —
+    they feed only the backward fold), exact_cull + pallas_expand (the
+    validated r4 defaults), and bf16 feature streaming (documented ~0.4%
+    color quantization, tests/test_pallas.py parity envelope; disable via
+    GS_BENCH_FPS_BF16=0 for a strictly-f32 number)."""
     import jax
     import jax.numpy as jnp
     from gs_tpu.core.camera import make_camera, focal2fov
@@ -315,6 +336,7 @@ def measure_render_fps(kind: str, repeats: int) -> dict:
     fovx = math.radians(70.0)
     fovy = focal2fov(WIDTH / (2 * math.tan(fovx / 2)), HEIGHT)
     dup_capacity, max_per_tile = CAPS[kind]
+    bf16 = os.environ.get("GS_BENCH_FPS_BF16", "1") != "0"
 
     @jax.jit
     def frame(tx):
@@ -324,7 +346,9 @@ def measure_render_fps(kind: str, repeats: int) -> dict:
         out = render(cam, params._replace(xyz=params.xyz + tx * 1e-30),
                      jnp.zeros(3), active_sh_degree=3, backend=BACKEND,
                      alive=alive, dup_capacity=dup_capacity,
-                     max_per_tile=max_per_tile, chunk=64)
+                     max_per_tile=max_per_tile, chunk=64,
+                     fwd_only=True, exact_cull=True, pallas_expand=True,
+                     bf16_features=bf16)
         return jnp.sum(out.image) * 1e-30 + tx + 1
 
     frame(jnp.float32(0.0))
@@ -349,7 +373,9 @@ def measure_render_fps(kind: str, repeats: int) -> dict:
                 "error": f"non-positive slope {dt:.4f}s — tunnel jitter"}
     return {"fps_1080p": round(1.0 / dt, 2),
             "sec_per_frame": round(dt, 4),
-            "meets_30fps": dt <= 1 / 30}
+            "meets_30fps": dt <= 1 / 30,
+            "profile": ("viewer:fwd_only+exact_cull+pallas_expand"
+                        + ("+bf16" if bf16 else ""))}
 
 
 def headline_dict(m: dict, device: str) -> dict:

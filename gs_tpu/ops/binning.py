@@ -41,6 +41,28 @@ class TileBins(NamedTuple):
     # positions directly instead of detecting boundaries + compacting
 
 
+def pack_bf16_pair(a, b):
+    """Two f32 columns -> one f32-typed column carrying the bf16 pair.
+
+    Pure bit transport: SAFE only through ops that never do float
+    arithmetic on the column (row gathers, sorts). TPU arithmetic flushes
+    denormals — a pair whose f32 interpretation is denormal (high half
+    ~ 0 while the low half isn't) would be silently zeroed by any
+    multiply/add, including the pallas expansion kernel's one-hot
+    dot_general and GSPMD's select+psum lowering of partitioned gathers.
+    bin_gaussians_payload(bf16_pairs=True) therefore packs AFTER the
+    expansion in the pallas-expand branch, and callers must not feed
+    packed columns through partitioned collectives."""
+    pair = jnp.stack([a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)],
+                     axis=-1)                              # [N, 2] bf16
+    return jax.lax.bitcast_convert_type(pair, jnp.float32)  # [N]
+
+
+def unpack_bf16_pair(x):
+    pair = jax.lax.bitcast_convert_type(x, jnp.bfloat16)    # [D, 2]
+    return pair[..., 0].astype(jnp.float32), pair[..., 1].astype(jnp.float32)
+
+
 def tile_grid(width: int, height: int, tile_x: int, tile_y: int):
     gx = -(-width // tile_x)
     gy = -(-height // tile_y)
@@ -65,6 +87,8 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
                           expand: str = "repeat",
                           expand_interpret: bool = False,
                           exact_cull: bool = False,
+                          sort_gid: bool = True,
+                          bf16_pairs: bool = False,
                           row_map=None, row_cumown=None):
     """Binning that optionally carries per-gaussian ``payload`` [N, F] columns
     through the expansion and the tile sort, returning them per sorted entry
@@ -152,6 +176,18 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     # gaussians never produced entries anyway.
     depth_key = jnp.where(counts0 > 0, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key)                       # [N] stable
+    if bf16_pairs and expand != "pallas":
+        # rgb+invdepth (packet cols 6-9) as two bf16-pair columns through
+        # the depth gather, the repeat expansion and the sort — all pure
+        # row movement. The pallas-expand branch must NOT pre-pack: its
+        # one-hot dot_general is float arithmetic and would flush
+        # denormal-patterned pairs to zero (it packs post-expansion below).
+        assert payload is not None and payload.shape[1] == 10, \
+            "bf16_pairs expects the 10-column pack_projected packet"
+        payload = jnp.concatenate(
+            [payload[:, :6],
+             pack_bf16_pair(payload[:, 6], payload[:, 7])[:, None],
+             pack_bf16_pair(payload[:, 8], payload[:, 9])[:, None]], axis=1)
     # ONE packed gather by `order` replaces 4-5 separate ones (each random
     # [N]-row gather costs ~ the same regardless of width). Int columns
     # ride as f32 VALUES (exact below 2^24) — NOT bitcast patterns: under
@@ -203,6 +239,15 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
         sw_e = jnp.maximum(out16[4].astype(jnp.int32), 1)
         gid_e = out16[5].astype(jnp.int32)
         exp_cols = tuple(out16[6 + i] for i in range(f))  # F x [D] rows
+        if bf16_pairs:
+            # pack AFTER the one-hot matmul (see above): the packed bit
+            # patterns then only ever ride the sort, which moves rows
+            # without arithmetic. Elementwise [D] packing fuses into the
+            # sort-operand production (CLAUDE.md rule 5).
+            assert f == 10, "bf16_pairs expects the 10-column packet"
+            exp_cols = exp_cols[:6] + (
+                pack_bf16_pair(exp_cols[6], exp_cols[7]),
+                pack_bf16_pair(exp_cols[8], exp_cols[9]))
     else:
         # jnp.repeat on whole rows is a monotone row gather; ONE fused
         # repeat of the int table (as exact f32) plus the payload halves
@@ -288,7 +333,18 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     # payload columns ride along instead of being re-gathered afterwards
     # (the 12-operand stable sort measures ~9.5 ms at 4.2M rows on v5e —
     # the sort is NOT the expensive part of binning)
-    if payload is not None:
+    if payload is not None and not sort_gid:
+        # forward-only callers (viewer/eval, no grads): entry gids are
+        # consumed ONLY by the backward gradient fold — dropping the gid
+        # operand from the sort saves ~3 ms/operand at D=4M on v5e
+        # (ROADMAP r4 calibration). Stable sort on identical keys yields the
+        # identical permutation, so payload outputs are bitwise unchanged.
+        ops = jax.lax.sort((tile_key,) + exp_cols,
+                           dimension=0, is_stable=True, num_keys=1)
+        sorted_key = ops[0]
+        sorted_gid = jnp.zeros_like(tile_key)            # poisoned: fwd-only
+        sorted_cols = tuple(ops[1:])
+    elif payload is not None:
         ops = jax.lax.sort((tile_key, gid_e) + exp_cols,
                            dimension=0, is_stable=True, num_keys=1)
         sorted_key, sorted_gid = ops[0], ops[1]

@@ -555,54 +555,31 @@ def _bin_with_payload(packets, proj_sg, dims, rowinfo):
     return out
 
 
-def _pack_bf16_pair(a, b):
-    """Two f32 columns -> one f32-typed column carrying the bf16 pair.
-
-    Pure bit transport (expansion gather + sort never do arithmetic on
-    payload columns). GSPMD HAZARD: a partitioned gather can lower to
-    select+psum, and TPU arithmetic flushes denormals — bit patterns that
-    happen to be f32 denormals would be silently zeroed. Safe here ONLY
-    because bf16_features runs per-device (single chip, or inside shard_map
-    where the expansion/sort are per-shard); render_multichip never enables
-    it across a partitioned axis, and the RasterConfig doc marks
-    bf16_features as incompatible with GSPMD-partitioned rendering."""
-    pair = jnp.stack([a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)],
-                     axis=-1)                              # [N, 2] bf16
-    return jax.lax.bitcast_convert_type(pair, jnp.float32)  # [N]
-
-
-def _unpack_bf16_pair(x):
-    pair = jax.lax.bitcast_convert_type(x, jnp.bfloat16)    # [D, 2]
-    return pair[..., 0].astype(jnp.float32), pair[..., 1].astype(jnp.float32)
-
-
 def _bin_with_payload_fwd(packets, proj_sg, dims, rowinfo):
     (width, height, tile_x, tile_y, dup_capacity, row_stride, bf16,
-     expand, interp, exact_cull, _fold, has_row_map) = dims
+     expand, interp, exact_cull, _fold, has_row_map, fwd_only) = dims
     row_phase, row_map, row_cumown = rowinfo
     if not has_row_map:
         row_map = row_cumown = None
-    if bf16:
-        # stream rgb+invdepth as bf16 pairs: 10 -> 8 payload columns through
-        # the expansion and the sort (the HBM-heavy stages). Geometry
-        # (means, conic, opacity) stays f32 — it feeds the positional
-        # gradient chain. Backward treats the quantization as identity
-        # (straight-through); see tests/test_pallas.py::test_pallas_bf16_*
-        # for the measured parity envelope.
-        pk = jnp.concatenate(
-            [packets[:, :6],
-             _pack_bf16_pair(packets[:, 6], packets[:, 7])[:, None],
-             _pack_bf16_pair(packets[:, 8], packets[:, 9])[:, None]], axis=1)
-    else:
-        pk = packets
+    # bf16: stream rgb+invdepth as bf16 pairs — 10 -> 8 payload columns
+    # through the HBM-heavy row-movement stages. Geometry (means, conic,
+    # opacity) stays f32 — it feeds the positional gradient chain. Backward
+    # treats the quantization as identity (straight-through); see
+    # tests/test_pallas.py::test_pallas_bf16_* for the parity envelope.
+    # Packing happens INSIDE binning at the branch-safe point: the pallas
+    # expansion kernel is float arithmetic and would flush denormal bit
+    # patterns (binning.pack_bf16_pair docstring), so that branch packs
+    # post-expansion, pre-sort.
     bins, sorted_cols = bin_gaussians_payload(
-        proj_sg, pk, width, height, tile_x, tile_y, dup_capacity,
+        proj_sg, packets, width, height, tile_x, tile_y, dup_capacity,
         row_phase=row_phase[0], row_stride=row_stride,
         expand=expand, expand_interpret=interp, exact_cull=exact_cull,
+        sort_gid=not fwd_only, bf16_pairs=bf16,
         row_map=row_map, row_cumown=row_cumown)
     if bf16:
-        r, g = _unpack_bf16_pair(sorted_cols[6])
-        b, invd = _unpack_bf16_pair(sorted_cols[7])
+        from .binning import unpack_bf16_pair
+        r, g = unpack_bf16_pair(sorted_cols[6])
+        b, invd = unpack_bf16_pair(sorted_cols[7])
         sorted_cols = sorted_cols[:6] + (r, g, b, invd)
     n = packets.shape[0]
     # binning already sentinels capacity-padding gids; exact-culled entries
@@ -625,6 +602,11 @@ def _bin_with_payload_bwd(dims, residuals, cot):
     gid_sent, counts_orig, n, proj_sg, overflow, _rowinfo = residuals
     _, d_cols = cot                      # TileBins cotangents are float0
     interp, fold = dims[8], dims[10]
+    if dims[12]:
+        raise ValueError(
+            "rasterize_pallas(fwd_only=True) dropped the entry gids from "
+            "the tile sort — gradients through this render are undefined. "
+            "Use fwd_only=False (the default) for differentiable renders.")
     if fold:
         # sort by gid (grouping runs contiguously, ascending original id),
         # then the streaming one-hot fold kernel replaces the
@@ -670,9 +652,15 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
                      exact_cull: bool = False,
                      pallas_fold: bool = False,
                      bwd_skip_read: bool = False,
+                     fwd_only: bool = False,
                      row_map=None, row_cumown=None):
     """Render via the Pallas tile kernel; differentiable w.r.t. ``proj``
     through the packet features.
+
+    ``fwd_only``: drop the entry gids from the tile sort (they feed only
+    the backward gradient fold) — ~3 ms/operand cheaper binning for
+    no-grad callers (viewer, eval renders). Taking gradients through a
+    fwd_only render raises at trace time.
 
     ``row_phase`` (traced) / ``row_stride`` (static) render only the global
     tile rows phase + j*stride into a height-``height`` local image —
@@ -719,7 +707,8 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
         (width, height, tile_x, tile_y, dup_capacity, row_stride,
          bool(bf16_features),
          "pallas" if pallas_expand else "repeat", interpret,
-         bool(exact_cull), bool(pallas_fold), has_row_map),
+         bool(exact_cull), bool(pallas_fold), has_row_map,
+         bool(fwd_only)),
         (row_phase, row_map, row_cumown))                # 10 x [D]
     # stack along axis 0: each sorted column becomes one contiguous feature
     # row — no [D, 10] <-> [10, D] relayout anywhere on the hot path

@@ -70,7 +70,8 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
            pallas_expand: bool = False,
            exact_cull: bool = False,
            pallas_fold: bool = False,
-           bwd_skip_read: bool = False) -> RenderOutput:
+           bwd_skip_read: bool = False,
+           fwd_only: bool = False) -> RenderOutput:
     """Render one view. Differentiable w.r.t. ``params`` (and bg).
 
     ``convert_SHs_python`` / ``compute_cov3D_python`` recompute SH shading /
@@ -110,7 +111,8 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
                             pallas_expand=pallas_expand,
                             exact_cull=exact_cull,
                             pallas_fold=pallas_fold,
-                            bwd_skip_read=bwd_skip_read)
+                            bwd_skip_read=bwd_skip_read,
+                            fwd_only=fwd_only)
 
 
 def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
@@ -123,6 +125,7 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
                      exact_cull: bool = False,
                      pallas_fold: bool = False,
                      bwd_skip_read: bool = False,
+                     fwd_only: bool = False,
                      row_map=None, row_cumown=None) -> RenderOutput:
     """``row_phase`` (traced ok) / ``row_stride`` (static): render only the
     global tile rows phase + j*stride into the local height — the
@@ -157,6 +160,7 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
             exact_cull=exact_cull,
             pallas_fold=pallas_fold,
             bwd_skip_read=bwd_skip_read,
+            fwd_only=fwd_only,
             row_map=row_map, row_cumown=row_cumown)
     else:
         raise ValueError(f"unknown backend {backend!r}")

@@ -303,3 +303,36 @@ def make_train_steps_scan(train_step, *, use_alpha: bool, use_depth: bool):
         return state, last
 
     return train_steps
+
+
+def make_train_step_chain(train_step, *, use_alpha: bool, use_depth: bool):
+    """Single-step dispatch with the device-resident training stacks: the
+    ground-truth image is gathered by a TRACED camera index inside the jit,
+    so chained host dispatches never move a frame over the wire.
+
+    Measured on v5e at the 1080p bench shape, k host-chained dispatches of
+    this executable run ~60 ms/step FASTER than the identical step inside a
+    4-step ``lax.scan`` (192.7 vs 252.8 ms/step,
+    studies/r4_measure/perf_r4h.log) — the scan's while-loop context costs
+    far more than per-dispatch enqueue, even through the axon tunnel. The
+    trainer therefore defaults block dispatch to this ("chain") and keeps
+    the scan ("scan") as the fallback dispatch mode.
+
+    Returns ``step1(state, images [V,3,H,W], alphas, invd, dmasks, doks,
+    iteration, idx, key) -> (state, StepMetrics)``.
+    """
+    core = train_step.__wrapped__
+
+    @jax.jit
+    def step1(state, images, alphas, invdepths, depth_masks, depth_oks,
+              iteration, idx, key):
+        gt = images[idx]
+        alpha = alphas[idx] if use_alpha else None
+        if use_depth:
+            invd, dmask, dok = (invdepths[idx], depth_masks[idx],
+                                depth_oks[idx])
+        else:
+            invd, dmask, dok = None, None, jnp.float32(0.0)
+        return core(state, idx, gt, alpha, invd, dmask, dok, iteration, key)
+
+    return step1

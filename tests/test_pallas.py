@@ -149,3 +149,56 @@ def test_pallas_bf16_features_parity(rng):
         tol = 2e-2 * s if name.startswith("sh") else 5e-2 * s
         np.testing.assert_allclose(b, a, atol=tol,
                                    err_msg=f"bf16 grad drift: {name}")
+
+
+def test_fwd_only_matches_and_grad_raises(scene):
+    """fwd_only drops the entry gids from the tile sort (they feed only the
+    backward fold). A stable sort on identical keys yields the identical
+    permutation, so the image must be BITWISE unchanged — and any gradient
+    through a fwd_only render must raise at trace time, never silently
+    return garbage."""
+    params, cam, bg = scene
+    ref = jax.jit(lambda p: _render(p, cam, bg, "pallas_interpret"))(params)
+    out = jax.jit(lambda p: _render(p, cam, bg, "pallas_interpret",
+                                    fwd_only=True, exact_cull=True,
+                                    pallas_expand=True))(params)
+    ref_cull = jax.jit(lambda p: _render(p, cam, bg, "pallas_interpret",
+                                         exact_cull=True,
+                                         pallas_expand=True))(params)
+    np.testing.assert_array_equal(np.asarray(out.image),
+                                  np.asarray(ref_cull.image))
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(ref.image),
+                               atol=3e-6)
+    with pytest.raises(ValueError, match="fwd_only"):
+        jax.grad(lambda p: jnp.sum(
+            _render(p, cam, bg, "pallas_interpret",
+                    fwd_only=True).image))(params)
+
+
+def test_bf16_pairs_pack_outside_expand_matmul(scene):
+    """bf16_features x pallas_expand: the packed bf16-pair columns must be
+    byte-identical to the repeat-expansion branch's. Regression for a latent
+    TPU corruption: packing BEFORE the expansion fed bit-cast pairs through
+    the one-hot dot_general, and TPU float arithmetic flushes denormal
+    patterns (high half ~0, low half nonzero) to zero — e.g. any packet with
+    g == 0, r != 0 would lose its red channel. The fix packs post-expansion
+    (binning.py), so packed columns only ever ride the sort. Interpret mode
+    cannot reproduce the flush (CPU keeps denormals) — this asserts the
+    structural property instead: both branches produce identical streams,
+    and a zero-green packet keeps its red."""
+    params, cam, bg = scene
+    # force the hazardous pattern: green exactly 0 on every gaussian
+    sh_dc = np.asarray(params.sh_dc).copy()
+    sh_dc[:, :, 1] = -0.5 / 0.28209479177387814   # SH DC for rgb 0 pre-clamp
+    p0 = params._replace(sh_dc=jnp.asarray(sh_dc))
+    o_rep = jax.jit(lambda p: _render(p, cam, bg, "pallas_interpret",
+                                      bf16_features=True))(p0)
+    o_exp = jax.jit(lambda p: _render(p, cam, bg, "pallas_interpret",
+                                      bf16_features=True,
+                                      pallas_expand=True))(p0)
+    np.testing.assert_array_equal(np.asarray(o_rep.image),
+                                  np.asarray(o_exp.image))
+    # red must survive zero green: compare against the f32 pipeline
+    o_f32 = jax.jit(lambda p: _render(p, cam, bg, "pallas_interpret"))(p0)
+    np.testing.assert_allclose(np.asarray(o_exp.image),
+                               np.asarray(o_f32.image), atol=1e-2)
