@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..config import ModelConfig, PipelineConfig, RasterConfig
 from ..core.gaussians import GaussianParams
 from ..data.scene import Scene
-from ..render import render
+from ..render import render, raster_lever_kwargs
 from .args import extract_dataclass, get_combined_args, make_parser
 
 
@@ -77,7 +77,8 @@ def render_set(model_path: str, name: str, iteration: int, cams, params,
                      backend=raster.backend,
                      dup_capacity=raster.dup_capacity,
                      max_per_tile=raster.max_per_tile, chunk=raster.chunk,
-                     tile_block=raster.tile_block)
+                     tile_block=raster.tile_block,
+                     **raster_lever_kwargs(raster, fwd_only=True))
         return out.image
 
     for idx, cam in enumerate(cams):

@@ -22,7 +22,7 @@ from ..config import ModelConfig, PipelineConfig, RasterConfig
 from ..core.camera import focal2fov, make_camera
 from ..data.scene import search_max_iteration
 from ..data.ply import load_gaussian_ply
-from ..render import render
+from ..render import render, raster_lever_kwargs
 from .args import extract_dataclass, get_combined_args, make_parser
 from .render import params_from_ply, save_png
 
@@ -82,7 +82,8 @@ def main(argv=None):
         out = render(cam, params, bg, active_sh_degree=d["sh_degree"],
                      alive=alive, backend=raster.backend,
                      dup_capacity=raster.dup_capacity,
-                     max_per_tile=raster.max_per_tile, chunk=raster.chunk)
+                     max_per_tile=raster.max_per_tile, chunk=raster.chunk,
+                     **raster_lever_kwargs(raster, fwd_only=True))
         save_png(os.path.join(out_dir, f"{i:05d}.png"), np.asarray(out.image))
         print(f"\rorbit {i + 1}/{args.frames}", end="", flush=True)
     print()

@@ -53,6 +53,22 @@ def resolve_backend(backend: str) -> str:
     return backend
 
 
+def raster_lever_kwargs(raster, fwd_only: bool = False) -> dict:
+    """render()/render_projected() kwargs for a RasterConfig's validated
+    perf levers — so every caller (train step, eval renders, render CLI,
+    viewer) runs the same configured pipeline instead of silently dropping
+    to the all-off render() defaults. ``fwd_only=True`` marks a no-grad
+    caller (viewer/eval/CLI): the entry gids leave the tile sort (~3 ms per
+    sort operand on v5e); gradients through such a render raise loudly."""
+    return dict(
+        bf16_features=getattr(raster, "bf16_features", False),
+        pallas_expand=getattr(raster, "pallas_expand", False),
+        exact_cull=getattr(raster, "exact_cull", False),
+        pallas_fold=getattr(raster, "pallas_fold", False),
+        bwd_skip_read=getattr(raster, "bwd_skip_read", False),
+        fwd_only=fwd_only)
+
+
 def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
            active_sh_degree: int,
            scaling_modifier: float = 1.0,

@@ -34,7 +34,7 @@ from ..models.gaussian_model import (TrainState, create_from_pcd,
                                      densify_and_prune, grow_capacity,
                                      init_state, reset_opacity)
 from ..ops.losses import psnr
-from ..render import render
+from ..render import render, raster_lever_kwargs
 from .step import StepMetrics, make_train_step
 
 
@@ -661,7 +661,9 @@ class Trainer:
                              dup_capacity=self.raster.dup_capacity,
                              max_per_tile=self.raster.max_per_tile,
                              chunk=self.raster.chunk,
-                             tile_block=self.raster.tile_block)
+                             tile_block=self.raster.tile_block,
+                             **raster_lever_kwargs(self.raster,
+                                                   fwd_only=True))
                 return jnp.clip(out.image, 0.0, 1.0)
 
             cache[key] = render_view
