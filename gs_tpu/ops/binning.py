@@ -39,6 +39,11 @@ class TileBins(NamedTuple):
     gauss_counts: Optional[jnp.ndarray] = None  # [N] duplicates per gaussian
     # (ORIGINAL index order) — lets the gradient segment-sum derive run-end
     # positions directly instead of detecting boundaries + compacting
+    num_valid: Optional[jnp.ndarray] = None  # [] int32 — entries surviving
+    # the validity culls (exact_cull, column segments): the entries the
+    # kernel actually composites — the per-device WORK diagnostic for the
+    # multi-chip band balance (num_duplicates stays pre-cull: it is the
+    # capacity/overflow accounting and must not depend on per-device culls)
 
 
 def pack_bf16_pair(a, b):
@@ -72,12 +77,14 @@ def tile_grid(width: int, height: int, tile_x: int, tile_y: int):
 def bin_gaussians(proj: Projected, width: int, height: int,
                   tile_x: int, tile_y: int, capacity: int,
                   row_phase=0, row_stride: int = 1,
-                  row_map=None, row_cumown=None) -> TileBins:
+                  row_map=None, row_cumown=None,
+                  col0_map=None, col1_map=None) -> TileBins:
     bins, _ = bin_gaussians_payload(proj, None, width, height,
                                     tile_x, tile_y, capacity,
                                     row_phase=row_phase,
                                     row_stride=row_stride,
-                                    row_map=row_map, row_cumown=row_cumown)
+                                    row_map=row_map, row_cumown=row_cumown,
+                                    col0_map=col0_map, col1_map=col1_map)
     return bins
 
 
@@ -89,7 +96,8 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
                           exact_cull: bool = False,
                           sort_gid: bool = True,
                           bf16_pairs: bool = False,
-                          row_map=None, row_cumown=None):
+                          row_map=None, row_cumown=None,
+                          col0_map=None, col1_map=None):
     """Binning that optionally carries per-gaussian ``payload`` [N, F] columns
     through the expansion and the tile sort, returning them per sorted entry
     as F separate [D] columns. Carrying the payload in the sort replaces the
@@ -106,6 +114,14 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     owned rows): bin an ARBITRARY set of global tile rows — the
     cost-balanced multi-chip band assignment (parallel/render_mc.py). Local
     tile row j renders global row row_map[j]. Overrides phase/stride.
+
+    ``col0_map``/``col1_map`` ([gy_local] int32, traced, with row_map):
+    local tile row j additionally owns only global tile columns
+    [col0_map[j], col1_map[j]) — sub-row column-segment band splitting.
+    Entries outside the owned segment are culled like exact_cull (they
+    sort to the sentinel tail with their true gid); counts/offsets — and
+    therefore capacity accounting and gradient run windows — are
+    unaffected.
 
     ``expand``: "repeat" (XLA jnp.repeat row expansion) or "pallas" (the
     block one-hot MXU expansion kernel, ops/expand_pallas.py — requires
@@ -274,6 +290,17 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
     t_row = ry0_e + local // sw_e
     tile_id = t_row * gx + t_col
     valid = eidx < total
+    if col0_map is not None:
+        # sub-row column-segment ownership (multi-chip split rows,
+        # parallel/render_mc.py): local tile row j owns only global tile
+        # columns [col0_map[j], col1_map[j]) — entries outside belong to
+        # another device's segment of the same global row. Culled exactly
+        # like exact_cull below: sentinel tile_key, TRUE gid kept (zero
+        # cotangents; run-end windows stay aligned). Expansion/counts are
+        # untouched, so capacity accounting stays device-independent.
+        c0e = col0_map.astype(jnp.int32).at[t_row].get(mode='clip')
+        c1e = col1_map.astype(jnp.int32).at[t_row].get(mode='clip')
+        valid = valid & (t_col >= c0e) & (t_col < c1e)
     if exact_cull:
         assert payload is not None, "exact_cull needs the packet payload"
         # per-entry exact tile-reach test on flat [D] channels (fuses into
@@ -375,5 +402,6 @@ def bin_gaussians_payload(proj: Projected, payload, width: int, height: int,
         num_duplicates=total.astype(jnp.int32),
         overflow=total > capacity,
         gauss_counts=counts_orig,
+        num_valid=jnp.sum((sorted_key < num_tiles).astype(jnp.int32)),
     )
     return bins, sorted_cols

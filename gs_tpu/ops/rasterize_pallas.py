@@ -550,17 +550,21 @@ def _bin_with_payload(packets, proj_sg, dims, rowinfo):
     d(sorted packets) back to packets via the sort-based segment sum. The
     geometry inputs are stop-gradient'd (binning is integer-valued, exactly
     like the CUDA sort stage). ``rowinfo`` = (row_phase [1], row_map,
-    row_cumown) — the latter two are dummies unless dims' has_row_map."""
+    row_cumown, col0_map, col1_map) — dummies unless dims' has_row_map /
+    has_col_map."""
     out, _ = _bin_with_payload_fwd(packets, proj_sg, dims, rowinfo)
     return out
 
 
 def _bin_with_payload_fwd(packets, proj_sg, dims, rowinfo):
     (width, height, tile_x, tile_y, dup_capacity, row_stride, bf16,
-     expand, interp, exact_cull, _fold, has_row_map, fwd_only) = dims
-    row_phase, row_map, row_cumown = rowinfo
+     expand, interp, exact_cull, _fold, has_row_map, fwd_only,
+     has_col_map) = dims
+    row_phase, row_map, row_cumown, col0_map, col1_map = rowinfo
     if not has_row_map:
         row_map = row_cumown = None
+    if not has_col_map:
+        col0_map = col1_map = None
     # bf16: stream rgb+invdepth as bf16 pairs — 10 -> 8 payload columns
     # through the HBM-heavy row-movement stages. Geometry (means, conic,
     # opacity) stays f32 — it feeds the positional gradient chain. Backward
@@ -575,7 +579,8 @@ def _bin_with_payload_fwd(packets, proj_sg, dims, rowinfo):
         row_phase=row_phase[0], row_stride=row_stride,
         expand=expand, expand_interpret=interp, exact_cull=exact_cull,
         sort_gid=not fwd_only, bf16_pairs=bf16,
-        row_map=row_map, row_cumown=row_cumown)
+        row_map=row_map, row_cumown=row_cumown,
+        col0_map=col0_map, col1_map=col1_map)
     if bf16:
         from .binning import unpack_bf16_pair
         r, g = unpack_bf16_pair(sorted_cols[6])
@@ -653,7 +658,8 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
                      pallas_fold: bool = False,
                      bwd_skip_read: bool = False,
                      fwd_only: bool = False,
-                     row_map=None, row_cumown=None):
+                     row_map=None, row_cumown=None,
+                     col0_map=None, col1_map=None):
     """Render via the Pallas tile kernel; differentiable w.r.t. ``proj``
     through the packet features.
 
@@ -669,8 +675,12 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
     with ``row_cumown`` [gy_global+1] (exclusive owned-row prefix) instead
     renders an ARBITRARY row set — the cost-balanced band assignment.
 
+    ``col0_map``/``col1_map`` [gy_local] (traced, with row_map): local row
+    j owns only global tile columns [col0_map[j], col1_map[j]) — sub-row
+    band splitting (parallel/render_mc.py split_rows).
+
     Returns (image [3,H,W], invdepth [1,H,W], finalT [H,W],
-    num_duplicates, max_tile_len, overflow)."""
+    num_duplicates, max_tile_len, overflow, num_valid)."""
     gx, gy = tile_grid(width, height, tile_x, tile_y)
     num_tiles = gx * gy
     pix = tile_x * tile_y
@@ -695,6 +705,14 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
         row_map = jnp.zeros((1,), jnp.int32)        # dummies (traced args)
         row_cumown = jnp.zeros((1,), jnp.int32)
         rowp_kernel = row_phase
+    has_col_map = col0_map is not None
+    if has_col_map:
+        assert has_row_map, "col0_map/col1_map require row_map"
+        col0_map = col0_map.astype(jnp.int32)
+        col1_map = col1_map.astype(jnp.int32)
+    else:
+        col0_map = jnp.zeros((1,), jnp.int32)       # dummies (traced args)
+        col1_map = jnp.zeros((1,), jnp.int32)
 
     packets = pack_projected(proj)                       # [N, 10]
     if pallas_expand:
@@ -708,8 +726,8 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
          bool(bf16_features),
          "pallas" if pallas_expand else "repeat", interpret,
          bool(exact_cull), bool(pallas_fold), has_row_map,
-         bool(fwd_only)),
-        (row_phase, row_map, row_cumown))                # 10 x [D]
+         bool(fwd_only), has_col_map),
+        (row_phase, row_map, row_cumown, col0_map, col1_map))  # 10 x [D]
     # stack along axis 0: each sorted column becomes one contiguous feature
     # row — no [D, 10] <-> [10, D] relayout anywhere on the hot path
     feats = jnp.concatenate(
@@ -741,4 +759,5 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
     finalT = untile(tmin[:, None, :])[0]
     max_len = jnp.max(bins.tile_end - bins.tile_start)
     overflow = bins.overflow | (max_len > max_per_tile)
-    return (image, invdepth, finalT, bins.num_duplicates, max_len, overflow)
+    return (image, invdepth, finalT, bins.num_duplicates, max_len, overflow,
+            bins.num_valid)

@@ -71,6 +71,87 @@ def _row_costs(proj, gx, gy_glob, tile_x, tile_y):
     return prefix_at(gy0, rows) - prefix_at(gy1, rows)
 
 
+def _heavy_col_costs(proj, heavy, gx, gy_glob, tile_x, tile_y):
+    """Per-tile-column duplicate cost of this shard's gaussians restricted
+    to each heavy row — colcosts[h, c] = number of this shard's entries
+    that land in (row heavy[h], column c). Same prefix-sum-of-sorted-
+    boundaries trick as _row_costs (a scatter-add histogram would
+    serialize); heavy is a tiny static-H traced index vector."""
+    if proj.radius_cull is not None:
+        rcull = proj.radius_cull
+    else:
+        rcull = jnp.stack([proj.radius, proj.radius], axis=1)
+    rx_ = rcull[:, 0].astype(jnp.int32)
+    ry_ = rcull[:, 1].astype(jnp.int32)
+    rx0, gy0, rx1, gy1 = tile_rect(proj.mean2d, rx_, gx, gy_glob,
+                                   tile_x, tile_y, radius_y=ry_)
+    vis = proj.visible & (rx_ > 0) & (ry_ > 0) & (gy1 > gy0) & (rx1 > rx0)
+    cols = jnp.arange(gx, dtype=jnp.int32)
+
+    def one_row(r):
+        w = jnp.where(vis & (gy0 <= r) & (r < gy1), 1.0, 0.0)
+
+        def prefix_at(keys, cq):
+            ks, ws = jax.lax.sort((keys, w), dimension=0, num_keys=1)
+            cw = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                                  jnp.cumsum(ws)])
+            return cw[jnp.searchsorted(ks, cq, side='right')]
+
+        # covers column c  <=>  rx0 <= c  and  not (rx1 <= c)
+        return prefix_at(rx0, cols) - prefix_at(rx1, cols)
+
+    return jax.vmap(one_row)(heavy)                    # [H, gx]
+
+
+def _assign_bands_split(cost, heavy, colcosts, k, B, H, gx):
+    """Cost-balanced band assignment with the H heaviest rows split by
+    columns across ALL devices (sub-row splitting — the only way below the
+    one-row partition floor of the plain snake deal).
+
+    The non-heavy rows are snake-dealt exactly like _snake_row_map; each
+    heavy row h is given to every device d with the tile-column segment
+    [qb[h,d], qb[h,d+1]) holding ~1/k of that row's entry load (quantiles
+    of the psum'd per-column cost). Returns ALL devices' maps — the
+    reassembly needs every device's (row, column-range) list and the
+    assignment is replicated (derived from psum'd costs):
+    rows [k, B+H] ascending per device, col0/col1 [k, B+H]."""
+    gyp = cost.shape[0]                               # k*B + H padded rows
+    kB = k * B
+    # heavy rows leave the deal: real rows have cost >= 0, so -1 sorts
+    # them (and only them) to the very end of the descending order
+    cost2 = cost.at[heavy].set(-1.0)
+    order = jnp.argsort(-cost2)                       # [gyp]
+    dealt = order[:kB]
+    pos = jnp.arange(kB, dtype=jnp.int32)
+    rnd, rin = pos // k, pos % k
+    dev_sorted = jnp.where(rnd % 2 == 0, rin, k - 1 - rin)
+    _, rows_grouped = jax.lax.sort(
+        (dev_sorted * gyp + dealt, dealt), dimension=0, num_keys=1)
+    rows_all = rows_grouped.reshape(k, B)
+    # per-heavy-row column quantile boundaries: device d owns columns
+    # [qb[d], qb[d+1]) — searchsorted on the cumulative column cost puts
+    # ~total/k entry load in each segment; boundaries are monotone in d,
+    # so the segments partition [0, gx) exactly
+    cums = jnp.cumsum(colcosts, axis=1)               # [H, gx]
+    total = cums[:, -1:]
+    targets = (jnp.arange(k, dtype=jnp.float32)[None, :] * total) / k
+    qb = jax.vmap(lambda cu, tg: jnp.searchsorted(cu, tg, side='left'))(
+        cums, targets).astype(jnp.int32)              # [H, k]
+    qb = jnp.concatenate([qb, jnp.full((qb.shape[0], 1), gx, jnp.int32)],
+                         axis=1)                      # [H, k+1]
+    rows_dev = jnp.concatenate(
+        [rows_all, jnp.broadcast_to(heavy[None, :], (k, H))], axis=1)
+    c0_dev = jnp.concatenate(
+        [jnp.zeros((k, B), jnp.int32), qb[:, :k].T], axis=1)
+    c1_dev = jnp.concatenate(
+        [jnp.full((k, B), gx, jnp.int32), qb[:, 1:].T], axis=1)
+    perm = jnp.argsort(rows_dev, axis=1)              # ascending row lists
+    rows_dev = jnp.take_along_axis(rows_dev, perm, axis=1)
+    c0_dev = jnp.take_along_axis(c0_dev, perm, axis=1)
+    c1_dev = jnp.take_along_axis(c1_dev, perm, axis=1)
+    return rows_dev, c0_dev, c1_dev
+
+
 def _snake_row_map(cost, k, band_rows, me):
     """Deal the gy rows to k devices by descending cost in snake order
     (LPT-style); returns this device's ascending global-row list and the
@@ -133,7 +214,8 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
                      chunk: int = 64,
                      packed_sh_degree: Optional[int] = None,
                      visible_capacity: int = 0,
-                     band_assign: str = "cost") -> RenderOutput:
+                     band_assign: str = "cost",
+                     split_rows: int = 0) -> RenderOutput:
     """Render one view with gaussians sharded over ``mesh`` (axis 'gauss').
 
     ``dup_capacity`` is PER DEVICE (each band bins only the entries that
@@ -160,13 +242,31 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
     descending per-row duplicate cost in snake order, recomputed every
     frame from the projected rects; "stride" is the fixed interleaved
     assignment (device d owns rows d, d+k, ...).
+
+    ``split_rows`` (static H, with band_assign="cost"): additionally split
+    the H heaviest tile rows by COLUMNS across all k devices (each owns a
+    per-row cost quantile of its tile columns) — the only way below the
+    one-row partition floor of whole-row assignment when the load
+    concentrates in very few rows. Every device expands the full width of
+    a split row (entries outside its column segment are culled at binning,
+    like exact_cull), so H extra local rows + the heavy rows' full-width
+    expansion is the per-device overhead; keep H small (1-2).
     """
     k = mesh.devices.size
     width, height = camera.width, camera.height
     tile_x = tile_y = 16
     gx, gy = tile_grid(width, height, tile_x, tile_y)
-    gy_pad = -(-gy // k) * k
-    band_rows = gy_pad // k
+    split = int(split_rows) if band_assign == "cost" and k > 1 else 0
+    split = min(split, max(gy - 1, 0))
+    if split:
+        # every device carries B dealt rows + all H heavy rows; padded
+        # global row count k*B + H >= gy so the deal covers every real row
+        B = -(-(gy - split) // k)
+        gy_pad = k * B + split
+        band_rows = B + split
+    else:
+        gy_pad = -(-gy // k) * k
+        band_rows = gy_pad // k
     band_h = band_rows * tile_y
 
     gspec = P(GAUSS_AXIS)
@@ -178,7 +278,7 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
         in_specs=(pspec, gspec if alive is not None else rspec,
                   gspec if mean2d_tap is not None else rspec, rspec),
         out_specs=(rspec, rspec, rspec, gspec, gspec, rspec, rspec, rspec,
-                   rspec, rspec),
+                   rspec, rspec, rspec),
         check_vma=False)
     def fn(p_shard, alive_shard, tap_shard, bg_in):
         if packed_sh_degree is not None:
@@ -244,7 +344,32 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
             visible=geom_full[:, 2] > 0.5,
             radius_cull=geom_full[:, 3:5].astype(jnp.int32),
         )
-        if band_assign == "cost":
+        rows_dev = c0_dev = c1_dev = None
+        if band_assign == "cost" and split:
+            # sub-row splitting: snake-deal the non-heavy rows, carve the
+            # H heaviest rows into per-device column quantiles. Assignment
+            # inputs are psum'd, so every device derives the same maps.
+            cost = jax.lax.stop_gradient(jax.lax.psum(
+                _row_costs(proj, gx, gy_pad, tile_x, tile_y), GAUSS_AXIS))
+            heavy = jax.lax.top_k(cost, split)[1].astype(jnp.int32)
+            colcosts = jax.lax.stop_gradient(jax.lax.psum(
+                _heavy_col_costs(proj, heavy, gx, gy_pad, tile_x, tile_y),
+                GAUSS_AXIS))
+            rows_dev, c0_dev, c1_dev = _assign_bands_split(
+                cost, heavy, colcosts, k, band_rows - split, split, gx)
+            row_map = rows_dev[phase]
+            own = jnp.zeros((gy_pad,), jnp.int32).at[row_map].set(1)
+            cumown = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                      jnp.cumsum(own)])
+            out = render_projected(proj_band, width, band_h, bg_in,
+                                   backend=backend,
+                                   dup_capacity=dup_capacity,
+                                   max_per_tile=max_per_tile, chunk=chunk,
+                                   row_map=row_map, row_cumown=cumown,
+                                   col0_map=c0_dev[phase],
+                                   col1_map=c1_dev[phase])
+            inv = None
+        elif band_assign == "cost":
             # per-frame cost-balanced rows: duplicate cost per global row
             # (psum of each shard's histogram), dealt in snake order —
             # the strided assignment hits 2.5x band imbalance on centered
@@ -271,10 +396,42 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
                                    row_phase=phase, row_stride=k)
             inv = None
 
+        def reassemble_split(x, ax):
+            """all_gather the per-device bands and select, for every
+            (global row, pixel column), the one copy whose device owns
+            that column segment. Split rows have k copies with DISJOINT
+            column ranges partitioning the width; dealt rows have exactly
+            one full-width copy — so a column-masked one-hot row matmul
+            (MXU-friendly; its transpose is the same matmul, no
+            serializing scatter in the backward) selects exactly one
+            owner per pixel."""
+            g = jax.lax.all_gather(x, GAUSS_AXIS, axis=0)   # [k, ...]
+            if ax == 0:                                     # finalT [h, W]
+                g = g[:, None]
+            nc = g.shape[1]
+            w_pix = g.shape[-1]
+            ni = k * band_rows
+            g = g.reshape(k, nc, band_rows, tile_y, w_pix)
+            g = jnp.moveaxis(g, 2, 1).reshape(ni, nc, tile_y, w_pix)
+            cols = jnp.arange(w_pix, dtype=jnp.int32)[None, :]
+            c0p = (c0_dev.reshape(-1) * tile_x)[:, None]
+            c1p = (c1_dev.reshape(-1) * tile_x)[:, None]
+            mask = ((cols >= c0p) & (cols < c1p)).astype(g.dtype)
+            masked = g * mask[:, None, None, :]
+            rowhot = (rows_dev.reshape(-1)[None, :] ==
+                      jnp.arange(gy_pad, dtype=jnp.int32)[:, None])
+            outx = jnp.einsum('ri,icyw->rcyw', rowhot.astype(g.dtype),
+                              masked)
+            outx = jnp.moveaxis(outx, 0, 1).reshape(
+                nc, gy_pad * tile_y, w_pix)
+            return outx[0] if ax == 0 else outx
+
         def reassemble(x, ax):
             """all_gather the per-device row groups and restore global row
             order (strided: global row = device + j*k; cost: via the
             assignment's inverse permutation)."""
+            if split:
+                return reassemble_split(x, ax)
             g = jax.lax.all_gather(x, GAUSS_AXIS, axis=0)   # [k, ...]
             g = jnp.moveaxis(g, 0, ax)                      # k at axis ax
             shape = list(g.shape)
@@ -307,21 +464,28 @@ def render_multichip(params: GaussianParams, camera: Camera, bg: jnp.ndarray,
         # per-band duplicate counts: the tile-band load-balance diagnostic
         band_nd = jax.lax.all_gather(
             out.num_duplicates.astype(jnp.int32), GAUSS_AXIS)   # [k]
+        # per-band POST-CULL work (entries the kernel composites): with
+        # split_rows the pre-cull duplicates overstate heavy-row devices
+        # (every device expands a split row's full width) — this is the
+        # real balance metric
+        band_work = jax.lax.all_gather(
+            out.num_valid.astype(jnp.int32), GAUSS_AXIS)        # [k]
         # per-device visible counts: sizes the visible_capacity compaction
         # (max of this is what the trainer grows the cap to on overflow)
         band_vis = jax.lax.all_gather(n_vis_local, GAUSS_AXIS)  # [k]
         return (image, invd, finalT, radii_loc, vis_loc, nd, ml, ov,
-                band_nd, band_vis)
+                band_nd, band_vis, band_work)
 
     alive_in = alive if alive is not None else jnp.zeros((1,), bool)
     tap_in = (mean2d_tap if mean2d_tap is not None
               else jnp.zeros((1, 2), jnp.float32))
-    image, invd, finalT, radii, vis, nd, ml, ov, band_nd, band_vis = fn(
-        params, alive_in, tap_in, bg)
+    (image, invd, finalT, radii, vis, nd, ml, ov, band_nd, band_vis,
+     band_work) = fn(params, alive_in, tap_in, bg)
     return RenderOutput(
         image=image[:, :height, :],
         invdepth=invd[:, :height, :],
         final_T=finalT[:height, :],
         radii=radii, visibility=vis,
         num_duplicates=nd, max_tile_len=ml, overflow=ov,
-        band_duplicates=band_nd, band_visible=band_vis)
+        band_duplicates=band_nd, band_visible=band_vis,
+        num_valid=jnp.sum(band_work), band_work=band_work)

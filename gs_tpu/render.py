@@ -43,6 +43,12 @@ class RenderOutput(NamedTuple):
     # diagnostic; max/mean of this is the imbalance factor
     band_visible: Optional[jnp.ndarray] = None  # [k] per-device visible
     # gaussian counts (multichip path only) — sizes visible_capacity
+    num_valid: Optional[jnp.ndarray] = None  # [] int32 entries surviving
+    # the validity culls (exact_cull / column segments) — the entries the
+    # kernel actually composites (binned/pallas backends)
+    band_work: Optional[jnp.ndarray] = None  # [k] per-device num_valid
+    # (multichip path only) — the REAL per-device kernel work; with
+    # split_rows the pre-cull band_duplicates overstates heavy-row devices
 
 
 def resolve_backend(backend: str) -> str:
@@ -142,12 +148,16 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
                      pallas_fold: bool = False,
                      bwd_skip_read: bool = False,
                      fwd_only: bool = False,
-                     row_map=None, row_cumown=None) -> RenderOutput:
+                     row_map=None, row_cumown=None,
+                     col0_map=None, col1_map=None) -> RenderOutput:
     """``row_phase`` (traced ok) / ``row_stride`` (static): render only the
     global tile rows phase + j*stride into the local height — the
-    interleaved multi-chip band assignment (parallel/render_mc.py)."""
+    interleaved multi-chip band assignment (parallel/render_mc.py).
+    ``col0_map``/``col1_map`` [gy_local] (with row_map): per-local-row owned
+    tile-column ranges — sub-row band splitting."""
     backend = resolve_backend(backend)
     zero_i = jnp.int32(0)
+    nv = zero_i
     if backend == "depthwise":
         assert row_stride == 1, "depthwise oracle renders full frames only"
         image, invd, finalT = rasterize_depthwise(
@@ -156,7 +166,8 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
     elif backend == "binned":
         bins = bin_gaussians(proj, width, height, TILE_X, TILE_Y, dup_capacity,
                              row_phase=row_phase, row_stride=row_stride,
-                             row_map=row_map, row_cumown=row_cumown)
+                             row_map=row_map, row_cumown=row_cumown,
+                             col0_map=col0_map, col1_map=col1_map)
         image, invd, finalT = rasterize_binned(
             proj, bins, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y,
             max_per_tile=max_per_tile, chunk=chunk, tile_block=tile_block,
@@ -164,9 +175,10 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
         nd = bins.num_duplicates
         ml = jnp.max(bins.tile_end - bins.tile_start)
         ov = bins.overflow | (ml > max_per_tile)
+        nv = bins.num_valid
     elif backend in ("pallas", "pallas_interpret"):
         from .ops.rasterize_pallas import rasterize_pallas
-        image, invd, finalT, nd, ml, ov = rasterize_pallas(
+        image, invd, finalT, nd, ml, ov, nv = rasterize_pallas(
             proj, width, height, bg, tile_x=TILE_X, tile_y=TILE_Y,
             max_per_tile=max_per_tile, dup_capacity=dup_capacity,
             interpret=(backend == "pallas_interpret"),
@@ -177,9 +189,11 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
             pallas_fold=pallas_fold,
             bwd_skip_read=bwd_skip_read,
             fwd_only=fwd_only,
-            row_map=row_map, row_cumown=row_cumown)
+            row_map=row_map, row_cumown=row_cumown,
+            col0_map=col0_map, col1_map=col1_map)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return RenderOutput(image=image, invdepth=invd, final_T=finalT,
                         radii=proj.radius, visibility=proj.visible,
-                        num_duplicates=nd, max_tile_len=ml, overflow=ov)
+                        num_duplicates=nd, max_tile_len=ml, overflow=ov,
+                        num_valid=nv)
