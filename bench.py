@@ -527,20 +527,23 @@ def main():
     # fps + real train step are ON by default (VERDICT r3 item 4: these are
     # the two numbers users compare — ref >=30 fps @1080p README.md:14 and
     # ~18.5 it/s training); disable via GS_BENCH_FPS=0 / GS_BENCH_TRAIN=0.
-    # Budget-guarded: each is skipped once past 0.6/0.8 of the budget.
-    if (os.environ.get("GS_BENCH_TRAIN", "1") != "0"
-            and time.perf_counter() - T_START < 0.6 * BUDGET_S):
-        try:
-            extra["train_step"] = measure_train_step("uniform", repeats)
-        except Exception as e:
-            extra["train_step"] = {"error": repr(e)}
-        emit()
+    # fps runs BEFORE the train probe: it is ~5x cheaper (one lean compile,
+    # 14 frames/run) and was budget-starved out of BENCH_r04 when it ran
+    # last — this order guarantees all four metrics inside the 600 s
+    # driver budget (VERDICT r4 weak 6).
     if (os.environ.get("GS_BENCH_FPS", "1") != "0"
             and time.perf_counter() - T_START < 0.8 * BUDGET_S):
         try:
             extra["render_fps"] = measure_render_fps("uniform", repeats)
         except Exception as e:
             extra["render_fps"] = {"error": repr(e)}
+        emit()
+    if (os.environ.get("GS_BENCH_TRAIN", "1") != "0"
+            and time.perf_counter() - T_START < 0.6 * BUDGET_S):
+        try:
+            extra["train_step"] = measure_train_step("uniform", repeats)
+        except Exception as e:
+            extra["train_step"] = {"error": repr(e)}
         emit()
     if os.environ.get("GS_BENCH_STAGES"):
         params, alive = build_scene("uniform")

@@ -26,26 +26,34 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Separable same-padded Gaussian blur; img [C, H, W]."""
+def _blur_axis(x: jnp.ndarray, win: np.ndarray, axis: int) -> jnp.ndarray:
+    """Same-padded 1-D correlation along ``axis`` as K shifted
+    multiply-adds. XLA fuses the shifted slices of one padded array into a
+    single elementwise pass (stencil fusion), where the grouped
+    conv_general_dilated lowering measured ~21 ms per train step at 1080p
+    on v5e (channels=3 can't tile the MXU); this form is exact f32 and its
+    VJP is the mirrored stencil, equally fused."""
     k = win.shape[0]
     pad = k // 2
-    # rows
-    kernel_h = win.reshape(1, 1, k, 1)
-    kernel_w = win.reshape(1, 1, 1, k)
-    x = img[:, None, :, :]                     # [C,1,H,W]
-    x = jax.lax.conv_general_dilated(x, jnp.asarray(kernel_h),
-                                     window_strides=(1, 1),
-                                     padding=((pad, pad), (0, 0)))
-    x = jax.lax.conv_general_dilated(x, jnp.asarray(kernel_w),
-                                     window_strides=(1, 1),
-                                     padding=((0, 0), (pad, pad)))
-    return x[:, 0, :, :]
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (pad, pad)
+    xp = jnp.pad(x, cfg)
+    n = x.shape[axis]
+    out = None
+    for i in range(k):
+        term = float(win[i]) * jax.lax.slice_in_dim(xp, i, i + n, axis=axis)
+        out = term if out is None else out + term
+    return out
+
+
+def _blur(img: jnp.ndarray, win: np.ndarray) -> jnp.ndarray:
+    """Separable same-padded Gaussian blur; img [C, H, W]."""
+    return _blur_axis(_blur_axis(img, win, 1), win, 2)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     """Mean SSIM of two [C, H, W] images in [0,1]."""
-    win = jnp.asarray(_gaussian_window(window_size))
+    win = _gaussian_window(window_size)
     mu1 = _blur(img1, win)
     mu2 = _blur(img2, win)
     mu1_sq = mu1 * mu1
