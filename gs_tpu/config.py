@@ -90,10 +90,6 @@ class RasterConfig:
     # instead of stack+cumsum+run-end gathers (pallas backend). On-chip r4:
     # parity 4e-6, the fold drops 45 -> 33 ms at D=3.33M (the kernel itself
     # streams at HBM speed; the remaining cost is the 11-op gid sort)
-    bwd_skip_read: bool = False      # backward kernel skips the d-chunk
-    # read DMA for first-writer chunks (exact — only a tile's mid-chunk
-    # head needs read-add; ~70% of the read stream). Opt-in until measured
-    # on-chip (r5)
     exact_cull: bool = True          # drop expanded entries whose tile the
     # ellipse provably never reaches (alpha < 1/255 over the whole rect)
     # before the tile sort — shrinks per-tile ranges / max_tile_len at
@@ -106,7 +102,10 @@ class RasterConfig:
     visible_capacity: int = 0        # multi-chip (--mesh) only: per-device
     # cap on packets entering the all-gather; each device compacts its
     # shard visible-first so ICI traffic is O(visible), not O(capacity).
-    # 0 = gather the full padded shard; overflow grows it like dup_capacity
+    # 0 = AUTO (default): the trainer sizes it from the per-shard alive
+    # counts at startup (Trainer._auto_visible_capacity) and grows it on
+    # overflow like dup_capacity; -1 = force the full padded-shard gather;
+    # >0 = explicit cap
 
 
 def asdict(cfg) -> dict:

@@ -18,15 +18,20 @@ Design (one grid program per 16x16 tile):
     contraction on the MXU
   * tiles terminate early once every pixel's transmittance falls below 1e-4
     (the CUDA kernel's per-pixel `done` flag, done per-tile here)
-  * backward re-walks each tile: sweep 1 recomputes per-chunk transmittance
-    carries into VMEM scratch, sweep 2 walks chunks back-to-front carrying the
-    suffix sum S_g = sum_{h>g} w_h (c_h . dL/dC + invd_h . dL/dI) and emits
-    per-entry gradients for all 10 packet features. Because adjacent tiles
-    can share a boundary chunk, the backward ACCUMULATES: it reads the
-    current d-chunk, adds its masked contribution, and writes it back — safe
-    because TPU Pallas grid programs execute sequentially on the core. The
-    d-entry buffer is zero-initialized via input/output aliasing. XLA's
+  * backward walks each tile's chunks back-to-front carrying the suffix sum
+    S_g = sum_{h>g} w_h (c_h . dL/dC + invd_h . dL/dI) (per-chunk entering
+    transmittance comes from the forward's checkpoint) and emits per-entry
+    gradients for all 10 packet features. Shared boundary chunks use the
+    round-5 PEND protocol (see _bwd_kernel): each d-chunk is written to HBM
+    exactly once, with the only future-shareable chunk held in VMEM until
+    the next tile merges into it — no read-modify-write stream, which
+    exposed one HBM round trip per tile in r4. Relies on grid programs
+    executing sequentially on the core (scratch persists across programs).
+    The d-entry buffer is zero-initialized via input/output aliasing. XLA's
     gather-VJP (segment sum over entry -> gaussian ids) completes the chain.
+  * both kernels HEAD-PREFETCH: every tile's first chunk DMA is issued at
+    program start, so the head-chunk wait is exposed once per program, not
+    once per tile.
 
 Feature-row layout ([NFEAT=16, D] f32, rows beyond 10 are padding):
   0 x, 1 y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity, 6 r, 7 g, 8 b,
@@ -118,16 +123,33 @@ def _chunk_dma(feats_hbm, fbuf, sem, base, k, slot):
 
 
 def _fwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm, out_ref,
-                ustore_ref, fbuf, sem, *, gx, tile_x, tile_y, pix, max_chunks,
-                tiles_per_program, row_stride, save_ustore,
+                ustore_ref, hbuf, fbuf, hsem, sem, *, gx, tile_x, tile_y,
+                pix, max_chunks, tiles_per_program, row_stride, save_ustore,
                 use_row_map=False):
     l_incl, _ = _tri_matrices(CS)
-    for tb in range(tiles_per_program):                  # static unroll
-        t = pl.program_id(0) * tiles_per_program + tb
+    pid = pl.program_id(0)
+    tbp = tiles_per_program
+
+    # HEAD PREFETCH (r5 probe perf_r5c, studies/r5_measure_perf_r5c.log):
+    # issue every tile's first-chunk DMA at program start so a tile's head
+    # chunk is in flight while earlier tiles composite — the head wait was
+    # one exposed HBM round trip per TILE; now it is one per PROGRAM.
+    metas = []
+    for tb in range(tbp):
+        t = pid * tbp + tb
         start = tile_start_ref[t]
         end = tile_end_ref[t]
         base = pl.multiple_of((start // CS) * CS, CS)
         nchunks = jnp.minimum(pl.cdiv(end - base, CS), max_chunks)
+        metas.append((t, start, end, base, nchunks))
+
+        @pl.when(nchunks > 0)
+        def _(base=base, tb=tb):
+            pltpu.make_async_copy(feats_hbm.at[:, pl.ds(base, CS)],
+                                  hbuf.at[tb], hsem.at[tb]).start()
+
+    for tb in range(tbp):                                # static unroll
+        t, start, end, base, nchunks = metas[tb]
         trow = _global_trow(t, gx, rowp_ref, row_stride, use_row_map)
         px, py = _pixel_rows(t, gx, tile_x, tile_y, pix, trow)
 
@@ -135,65 +157,72 @@ def _fwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm, out_ref,
         out_ref[tb, 4:5] = jnp.ones((1, pix), jnp.float32)   # running T
         out_ref[tb, 5:6] = jnp.ones((1, pix), jnp.float32)   # frozen T
 
+        def composite(k, f, tb=tb, start=start, end=end, base=base,
+                      px=px, py=py):
+            vmask = _entry_mask(base, k, start, end)
+            alpha, _, _, _, _, _ = _chunk_alpha(f, vmask, px, py)
+
+            lg = jnp.log1p(-alpha)                   # [CS, PIX]
+            cum = jnp.dot(l_incl, lg,
+                          preferred_element_type=jnp.float32)
+            u_prev = out_ref[tb, 4:5]                # [1, PIX]
+            if save_ustore:
+                # checkpoint the chunk's ENTERING transmittance — the
+                # backward reads it instead of re-sweeping the tile
+                # (no-grad renders compile without this store)
+                ustore_ref[tb, pl.ds(k, 1), :] = u_prev
+            u_incl = u_prev * jnp.exp(cum)
+            # == u_prev * exp(cum - lg); division trades the second
+            # [CS,PIX] transcendental for a cheap reciprocal
+            u_excl = u_incl / (1.0 - alpha)
+            live = (u_incl >= T_EPS).astype(jnp.float32)
+            w = alpha * u_excl * live                # [CS, PIX]
+
+            contrib = jax.lax.dot_general(
+                f[:, 6:10], w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [4, PIX]
+            out_ref[tb, 0:4] += contrib
+            tmin = jnp.min(jnp.where(live > 0, u_incl, jnp.inf), axis=0,
+                           keepdims=True)
+            out_ref[tb, 5:6] = jnp.minimum(out_ref[tb, 5:6], tmin)
+            out_ref[tb, 4:5] = u_incl[CS - 1:CS, :]
+
+        # chunk 0 peeled out of the loop: it composites from the
+        # program-start head buffer; remaining chunks stream through the
+        # double-buffered fbuf ring (chunk k+1 in flight while k runs)
         @pl.when(nchunks > 0)
-        def _(base=base):
-            _chunk_dma(feats_hbm, fbuf, sem, base, 0, 0).start()
+        def _(tb=tb, base=base, nchunks=nchunks):
+            pltpu.make_async_copy(feats_hbm.at[:, pl.ds(base, CS)],
+                                  hbuf.at[tb], hsem.at[tb]).wait()
 
-        # fori with double-buffered DMA: the next chunk streams while the
-        # current one composites; early-terminated tiles skip the compute
-        # (the DMA still streams so every started copy is awaited)
-        def body(k, carry, tb=tb, base=base, nchunks=nchunks, start=start,
-                 end=end, px=px, py=py):
-            umax, kproc = carry
-            slot = jax.lax.rem(k, 2)
-
-            @pl.when(k + 1 < nchunks)
+            @pl.when(nchunks > 1)
             def _():
-                _chunk_dma(feats_hbm, fbuf, sem, base, k + 1,
-                           1 - slot).start()
+                _chunk_dma(feats_hbm, fbuf, sem, base, 1, 1).start()
+            composite(0, hbuf[tb].T)
 
-            _chunk_dma(feats_hbm, fbuf, sem, base, k, slot).wait()
-            active = umax >= T_EPS
+            def body(k, carry, tb=tb, base=base, nchunks=nchunks):
+                umax, kproc = carry
+                slot = jax.lax.rem(k, 2)
 
-            @pl.when(active)
-            def _():
-                f = fbuf[slot].T                         # [CS, NFEAT]
-                vmask = _entry_mask(base, k, start, end)
-                alpha, _, _, _, _, _ = _chunk_alpha(f, vmask, px, py)
+                @pl.when(k + 1 < nchunks)
+                def _():
+                    _chunk_dma(feats_hbm, fbuf, sem, base, k + 1,
+                               1 - slot).start()
+                _chunk_dma(feats_hbm, fbuf, sem, base, k, slot).wait()
+                active = umax >= T_EPS
 
-                lg = jnp.log1p(-alpha)                   # [CS, PIX]
-                cum = jnp.dot(l_incl, lg,
-                              preferred_element_type=jnp.float32)
-                u_prev = out_ref[tb, 4:5]                # [1, PIX]
-                if save_ustore:
-                    # checkpoint the chunk's ENTERING transmittance — the
-                    # backward reads it instead of re-sweeping the tile
-                    # (no-grad renders compile without this store)
-                    ustore_ref[tb, pl.ds(k, 1), :] = u_prev
-                u_incl = u_prev * jnp.exp(cum)
-                # == u_prev * exp(cum - lg); division trades the second
-                # [CS,PIX] transcendental for a cheap reciprocal
-                u_excl = u_incl / (1.0 - alpha)
-                live = (u_incl >= T_EPS).astype(jnp.float32)
-                w = alpha * u_excl * live                # [CS, PIX]
+                @pl.when(active)
+                def _():
+                    composite(k, fbuf[slot].T)
+                kproc = jnp.where(active, k + 1, kproc)
+                return jnp.max(out_ref[tb, 4:5]), kproc
 
-                contrib = jax.lax.dot_general(
-                    f[:, 6:10], w, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [4, PIX]
-                out_ref[tb, 0:4] += contrib
-                tmin = jnp.min(jnp.where(live > 0, u_incl, jnp.inf), axis=0,
-                               keepdims=True)
-                out_ref[tb, 5:6] = jnp.minimum(out_ref[tb, 5:6], tmin)
-                out_ref[tb, 4:5] = u_incl[CS - 1:CS, :]
-
-            kproc = jnp.where(active, k + 1, kproc)
-            return jnp.max(out_ref[tb, 4:5]), kproc
-
-        _, kproc = jax.lax.fori_loop(
-            0, nchunks, body, (jnp.float32(1.0), jnp.int32(0)))
-        # chunks actually composited before early termination; the backward
-        # walks exactly these (row 6 was spare)
-        out_ref[tb, 6:7] = jnp.full((1, pix), kproc.astype(jnp.float32))
+            _, kproc = jax.lax.fori_loop(
+                1, nchunks, body,
+                (jnp.max(out_ref[tb, 4:5]), jnp.int32(1)))
+            # chunks actually composited before early termination; the
+            # backward walks exactly these (row 6 was spare)
+            out_ref[tb, 6:7] = jnp.full((1, pix), kproc.astype(jnp.float32))
 
 
 def _moment_matrix(tile_x, pix):
@@ -213,18 +242,69 @@ def _moment_matrix(tile_x, pix):
 
 def _bwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm,
                 out_fwd_ref, ustore_ref, dout_ref, zeros_hbm, dfeats_hbm,
-                fbuf, dbuf_rd, dbuf_wr, sem_in, sem_rd, sem_wr, *,
-                gx, tile_x, tile_y, pix, max_chunks, row_stride,
-                tiles_per_program, use_row_map=False, skip_read=False):
+                hbuf, fbuf, wrbuf, pbuf, scar, st, hsem, sem_in, sem_wr,
+                sem_pf, *, gx, tile_x, tile_y, pix, max_chunks, row_stride,
+                tiles_per_program, use_row_map=False):
+    """PEND-protocol backward (round 5; perf_r5c/r5d probes, bitwise ==
+    the r4 RMW kernel): every d-chunk is written to HBM exactly ONCE.
+
+    Tiles are processed in ascending entry order, so the only chunk a
+    FUTURE tile can share is the current tile's top processed chunk; that
+    chunk accumulates in a VMEM pending buffer (ping-pong pair ``pbuf``)
+    until the next tile merges its own bottom-chunk contribution into it,
+    or it is flushed. Interior chunks are pure writes through the
+    ``wrbuf`` ring. This deletes the r4 read-modify-write d-stream whose
+    cross-tile write->read ordering exposed an HBM round trip per tile.
+    Pend state lives in scratch (``st`` SMEM: 0 pend chunk id, 1 pend
+    slot, 2-3 wrbuf pending ids, 4-5 pbuf flush pending ids), which
+    persists across the sequentially-executed grid programs — the same
+    in-order-grid property the old RMW accumulation relied on. Feature
+    chunks head-prefetch per program exactly like the forward."""
     del zeros_hbm  # aliased into dfeats_hbm (zero initialization)
     l_incl, s_upper = _tri_matrices(CS)
     moments = _moment_matrix(tile_x, pix)                 # [PIX, 6]
+    pid = pl.program_id(0)
+    tbp = tiles_per_program
 
-    for tb in range(tiles_per_program):                   # static unroll
-        t = pl.program_id(0) * tiles_per_program + tb
+    @pl.when(pid == 0)
+    def _():
+        for i in range(6):
+            st[i] = -1
+        st[1] = 0
+
+    def chunk_addr(c):
+        return pl.multiple_of(c * CS, CS)
+
+    def pf_dma(slot, c):
+        return pltpu.make_async_copy(
+            pbuf.at[slot], dfeats_hbm.at[:, pl.ds(chunk_addr(c), CS)],
+            sem_pf.at[slot])
+
+    def wr_dma(slot, c):
+        return pltpu.make_async_copy(
+            wrbuf.at[slot], dfeats_hbm.at[:, pl.ds(chunk_addr(c), CS)],
+            sem_wr.at[slot])
+
+    metas = []
+    for tb in range(tbp):
+        t = pid * tbp + tb
         start = tile_start_ref[t]
         end = tile_end_ref[t]
         base = pl.multiple_of((start // CS) * CS, CS)
+        kproc = out_fwd_ref[tb, 6, 0].astype(jnp.int32)
+        metas.append((t, start, end, base, kproc))
+
+        @pl.when(kproc > 0)
+        def _(base=base, kproc=kproc, tb=tb):
+            pltpu.make_async_copy(
+                feats_hbm.at[:, pl.ds(pl.multiple_of(
+                    base + (kproc - 1) * CS, CS), CS)],
+                hbuf.at[tb], hsem.at[tb]).start()
+
+    for tb in range(tbp):                                 # static unroll
+        t, start, end, base, kproc = metas[tb]
+        cb = base // CS
+        c_top = cb + kproc - 1
         trow = _global_trow(t, gx, rowp_ref, row_stride, use_row_map)
         px, py = _pixel_rows(t, gx, tile_x, tile_y, pix, trow)
         # tile origin: pixel coords = origin + local (moment expansion frame)
@@ -235,68 +315,12 @@ def _bwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm,
         dldi = dout_ref[tb, 3:4]                          # [1, PIX]
         dldt = dout_ref[tb, 5:6]                          # [1, PIX]
         tmin = out_fwd_ref[tb, 5:6]                       # [1, PIX] value
-        # chunks the forward actually composited (it checkpointed the
-        # entering transmittance of each into ustore, so no re-sweep here)
-        kproc = out_fwd_ref[tb, 6, 0].astype(jnp.int32)
 
-        # back-to-front sweep with suffix carry S. Double-buffered: chunk
-        # k-1's feature load and d-chunk read stream while chunk k computes;
-        # writes overlap the next chunk's compute and are awaited before
-        # their buffer slot is reused (and before the next tile starts, so a
-        # shared boundary chunk's read-modify-write stays ordered).
-        def rd_dma(slot, k, base=base):
-            return pltpu.make_async_copy(
-                dfeats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
-                dbuf_rd.at[slot], sem_rd.at[slot])
-
-        def wr_dma(slot, k, base=base):
-            return pltpu.make_async_copy(
-                dbuf_wr.at[slot],
-                dfeats_hbm.at[:, pl.ds(pl.multiple_of(base + k * CS, CS), CS)],
-                sem_wr.at[slot])
-
-        # skip_read: a d-chunk read is needed ONLY for the tile's HEAD
-        # chunk when it starts mid-chunk (start > base): entries before
-        # ``start`` there belong to earlier tiles, which the ascending
-        # grid already processed and wrote. Every other chunk of this
-        # tile's span is a FIRST write — later tiles sharing the tail
-        # chunk read-add on top, and the region between ``end`` and the
-        # chunk boundary is masked to zero over the aliased-zeros init.
-        def need_rd(k, start=start, base=base):
-            if not skip_read:
-                return k >= 0            # always (old behavior)
-            return (k == 0) & (start > base)
-
-        @pl.when(kproc > 0)
-        def _(kproc=kproc, base=base, start=start):
-            _chunk_dma(feats_hbm, fbuf, sem_in, base, kproc - 1, 0).start()
-
-            @pl.when(need_rd(kproc - 1, start, base))
-            def _():
-                rd_dma(0, kproc - 1).start()
-
-        def body2(j, carry, kproc=kproc, base=base, start=start, end=end,
-                  px=px, py=py, ox=ox, oy=oy, dldc=dldc, dldi=dldi,
-                  dldt=dldt, tmin=tmin):
-            s_carry, wk0, wk1 = carry                # pending write k per slot
-            k = kproc - 1 - j
-            slot = jax.lax.rem(j, 2)
-
-            @pl.when(j + 1 < kproc)
-            def _():
-                _chunk_dma(feats_hbm, fbuf, sem_in, base, k - 1,
-                           1 - slot).start()
-
-                @pl.when(need_rd(k - 1, start, base))
-                def _():
-                    rd_dma(1 - slot, k - 1).start()
-
-            _chunk_dma(feats_hbm, fbuf, sem_in, base, k, slot).wait()
-
-            @pl.when(need_rd(k, start, base))
-            def _():
-                rd_dma(slot, k).wait()
-            f = fbuf[slot].T                         # [CS, NFEAT]
+        def dgrad_chunk(k, f, tb=tb, start=start, end=end, base=base,
+                        px=px, py=py, ox=ox, oy=oy, dldc=dldc, dldi=dldi,
+                        dldt=dldt, tmin=tmin):
+            """Chunk k's per-entry gradients [NFEAT, CS]; the suffix carry
+            reads/writes the ``scar`` scratch row."""
             vmask = _entry_mask(base, k, start, end)
             alpha, g, opg, dx, dy, gate = _chunk_alpha(f, vmask, px, py)
             lg = jnp.log1p(-alpha)
@@ -316,7 +340,7 @@ def _bwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm,
             wc = w * cdot
             suffix = jnp.dot(s_upper, wc,
                              preferred_element_type=jnp.float32)
-            s_total = suffix + s_carry                # [CS, PIX]
+            s_total = suffix + scar[...]              # [CS, PIX]
 
             dalpha = (cdot * u_excl * live
                       - s_total * inv1ma
@@ -363,40 +387,104 @@ def _bwd_kernel(tile_start_ref, tile_end_ref, rowp_ref, feats_hbm,
                 [d_x, d_y, d_ca, d_cb, d_cc, d_op, d_rgb, d_invd, zeros6],
                 axis=1)                               # [CS, NFEAT]
             dgrad = jnp.where(vmask, dgrad, 0.0)
+            scar[...] = jnp.sum(wc, axis=0, keepdims=True) + scar[...]
+            return dgrad.T
 
-            # read-modify-write: boundary chunks are shared with adjacent
-            # tiles (grid programs run sequentially on the core, so this is
-            # race-free); wait the previous write on this slot before
-            # reusing its buffer
-            pending = jnp.where(slot == 0, wk0, wk1)
+        @pl.when(kproc > 0)
+        def _(tb=tb, kproc=kproc, base=base, cb=cb, c_top=c_top,
+              start=start, end=end):
+            scar[...] = jnp.zeros((1, pix), jnp.float32)
+            old_id = st[0]
+            old_slot = st[1]
+            # this tile's bottom chunk merges into the pending chunk?
+            carry_in = old_id == cb
 
-            @pl.when(pending >= 0)
+            # flush the old pend unless the bottom chunk will merge it
+            @pl.when(~carry_in & (old_id >= 0))
             def _():
-                wr_dma(slot, pending).wait()
-            if skip_read:
-                @pl.when(need_rd(k, start, base))
-                def _():
-                    dbuf_wr[slot] = dbuf_rd[slot] + dgrad.T
+                pf_dma(old_slot, old_id).start()
+                st[4 + old_slot] = old_id
 
-                @pl.when(~need_rd(k, start, base))
-                def _():
-                    dbuf_wr[slot] = dgrad.T
-            else:
-                dbuf_wr[slot] = dbuf_rd[slot] + dgrad.T
-            wr_dma(slot, k).start()
-            wk0 = jnp.where(slot == 0, k, wk0)
-            wk1 = jnp.where(slot == 1, k, wk1)
-            return (jnp.sum(wc, axis=0, keepdims=True) + s_carry, wk0, wk1)
+            # ---- top chunk (peeled): composites from the head buffer --
+            pltpu.make_async_copy(
+                feats_hbm.at[:, pl.ds(pl.multiple_of(
+                    base + (kproc - 1) * CS, CS), CS)],
+                hbuf.at[tb], hsem.at[tb]).wait()
 
-        _, wk0_f, wk1_f = jax.lax.fori_loop(
-            0, kproc, body2,
-            (jnp.zeros((1, pix), jnp.float32),
-             jnp.int32(-1), jnp.int32(-1)))
-        # drain writes before the next tile may touch a shared boundary chunk
-        for slot, wkf in ((0, wk0_f), (1, wk1_f)):
-            @pl.when(wkf >= 0)
-            def _(slot=slot, wkf=wkf):
-                wr_dma(slot, wkf).wait()
+            @pl.when(kproc > 1)
+            def _():
+                _chunk_dma(feats_hbm, fbuf, sem_in, base, kproc - 2,
+                           1).start()
+            dg_top = dgrad_chunk(kproc - 1, hbuf[tb].T)
+
+            @pl.when(carry_in & (kproc == 1))
+            def _():
+                # whole tile inside the pending chunk: accumulate in place
+                pbuf[old_slot] += dg_top
+
+            @pl.when(~(carry_in & (kproc == 1)))
+            def _():
+                new_slot = 1 - old_slot
+
+                @pl.when(st[4 + new_slot] >= 0)
+                def _():
+                    pf_dma(new_slot, st[4 + new_slot]).wait()
+                st[4 + new_slot] = -1
+                pbuf[new_slot] = dg_top
+                st[0] = c_top
+                st[1] = new_slot
+
+            # ---- remaining chunks, top-1 .. 0 (fbuf ring) -------------
+            def body2(j, carry, tb=tb, kproc=kproc, base=base, cb=cb,
+                      old_slot=old_slot, carry_in=carry_in):
+                k = kproc - 1 - j
+                slot = jax.lax.rem(j, 2)
+
+                @pl.when(j + 1 < kproc)
+                def _():
+                    _chunk_dma(feats_hbm, fbuf, sem_in, base, k - 1,
+                               1 - slot).start()
+                _chunk_dma(feats_hbm, fbuf, sem_in, base, k, slot).wait()
+                dg = dgrad_chunk(k, fbuf[slot].T)
+                wslot = slot
+
+                @pl.when(st[2 + wslot] >= 0)
+                def _():
+                    wr_dma(wslot, st[2 + wslot]).wait()
+                wrbuf[wslot] = dg
+
+                @pl.when((k == 0) & carry_in)
+                def _():
+                    # bottom chunk: fold the carried pending chunk in —
+                    # chunk cb is now final (no future tile reaches below
+                    # this tile's top chunk), so it writes out here
+                    wrbuf[wslot] = wrbuf[wslot] + pbuf[old_slot]
+                wr_dma(wslot, cb + k).start()
+                st[2 + wslot] = cb + k
+                return carry
+
+            jax.lax.fori_loop(1, kproc, body2, jnp.int32(0))
+
+    # program end: drain write/flush slots (buffer-reuse safety across the
+    # program boundary; the live pend buffer itself has no DMA in flight)
+    for s_ in (0, 1):
+        @pl.when(st[2 + s_] >= 0)
+        def _(s_=s_):
+            wr_dma(s_, st[2 + s_]).wait()
+            st[2 + s_] = -1
+
+        @pl.when(st[4 + s_] >= 0)
+        def _(s_=s_):
+            pf_dma(s_, st[4 + s_]).wait()
+            st[4 + s_] = -1
+
+    # very last program: flush the live pending chunk
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _():
+        @pl.when(st[0] >= 0)
+        def _():
+            pf_dma(st[1], st[0]).start()
+            pf_dma(st[1], st[0]).wait()
 
 
 class _Statics(NamedTuple):
@@ -412,9 +500,6 @@ class _Statics(NamedTuple):
     use_row_map: bool = False    # row_phase arg is a [gy_local] global-row
                                  # map instead of a [1] phase (cost-balanced
                                  # multi-chip bands)
-    bwd_skip_read: bool = False  # backward d-chunk DMA reads only for
-                                 # shared head chunks (exact; see
-                                 # _bwd_kernel skip_read)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -458,8 +543,10 @@ def _raster_tiles_fwd(feats, tile_start, tile_end, row_phase,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, CS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((tbp, NFEAT, CS), jnp.float32),   # hbuf (head chunks)
+            pltpu.VMEM((2, NFEAT, CS), jnp.float32),     # fbuf (stream ring)
+            pltpu.SemaphoreType.DMA((tbp,)),             # hsem
+            pltpu.SemaphoreType.DMA((2,)),               # sem
         ],
     )
     kernel = functools.partial(_fwd_kernel, gx=s.gx, tile_x=s.tile_x,
@@ -511,12 +598,16 @@ def _raster_tiles_bwd(statics: _Statics, residuals, dout):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, CS), jnp.float32),   # fbuf
-            pltpu.VMEM((2, NFEAT, CS), jnp.float32),   # dbuf_rd
-            pltpu.VMEM((2, NFEAT, CS), jnp.float32),   # dbuf_wr
-            pltpu.SemaphoreType.DMA((2,)),             # sem_in
-            pltpu.SemaphoreType.DMA((2,)),             # sem_rd
-            pltpu.SemaphoreType.DMA((2,)),             # sem_wr
+            pltpu.VMEM((tbp, NFEAT, CS), jnp.float32),  # hbuf (head chunks)
+            pltpu.VMEM((2, NFEAT, CS), jnp.float32),    # fbuf (stream ring)
+            pltpu.VMEM((2, NFEAT, CS), jnp.float32),    # wrbuf (write ring)
+            pltpu.VMEM((2, NFEAT, CS), jnp.float32),    # pbuf (pend pair)
+            pltpu.VMEM((1, pix), jnp.float32),          # scar (suffix carry)
+            pltpu.SMEM((6,), jnp.int32),                # st (pend state)
+            pltpu.SemaphoreType.DMA((tbp,)),            # hsem
+            pltpu.SemaphoreType.DMA((2,)),              # sem_in
+            pltpu.SemaphoreType.DMA((2,)),              # sem_wr
+            pltpu.SemaphoreType.DMA((2,)),              # sem_pf
         ],
     )
     kernel = functools.partial(_bwd_kernel, gx=s.gx, tile_x=s.tile_x,
@@ -524,8 +615,7 @@ def _raster_tiles_bwd(statics: _Statics, residuals, dout):
                                max_chunks=s.max_chunks,
                                row_stride=s.row_stride,
                                tiles_per_program=tbp,
-                               use_row_map=s.use_row_map,
-                               skip_read=s.bwd_skip_read)
+                               use_row_map=s.use_row_map)
     zeros = jnp.zeros_like(feats)
     dfeats = pl.pallas_call(
         kernel,
@@ -656,7 +746,6 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
                      pallas_expand: bool = False,
                      exact_cull: bool = False,
                      pallas_fold: bool = False,
-                     bwd_skip_read: bool = False,
                      fwd_only: bool = False,
                      row_map=None, row_cumown=None,
                      col0_map=None, col1_map=None):
@@ -738,8 +827,7 @@ def rasterize_pallas(proj: Projected, width: int, height: int,
     statics = _Statics(num_tiles=num_tiles, gx=gx, tile_x=tile_x,
                        tile_y=tile_y, max_chunks=max_chunks,
                        interpret=interpret, tiles_per_program=4,
-                       row_stride=row_stride, use_row_map=has_row_map,
-                       bwd_skip_read=bool(bwd_skip_read))
+                       row_stride=row_stride, use_row_map=has_row_map)
     out = _raster_tiles(feats, bins.tile_start, bins.tile_end, rowp_kernel,
                         statics)
 

@@ -71,7 +71,6 @@ def raster_lever_kwargs(raster, fwd_only: bool = False) -> dict:
         pallas_expand=getattr(raster, "pallas_expand", False),
         exact_cull=getattr(raster, "exact_cull", False),
         pallas_fold=getattr(raster, "pallas_fold", False),
-        bwd_skip_read=getattr(raster, "bwd_skip_read", False),
         fwd_only=fwd_only)
 
 
@@ -92,7 +91,6 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
            pallas_expand: bool = False,
            exact_cull: bool = False,
            pallas_fold: bool = False,
-           bwd_skip_read: bool = False,
            fwd_only: bool = False) -> RenderOutput:
     """Render one view. Differentiable w.r.t. ``params`` (and bg).
 
@@ -133,7 +131,6 @@ def render(camera: Camera, params: GaussianParams, bg: jnp.ndarray, *,
                             pallas_expand=pallas_expand,
                             exact_cull=exact_cull,
                             pallas_fold=pallas_fold,
-                            bwd_skip_read=bwd_skip_read,
                             fwd_only=fwd_only)
 
 
@@ -146,8 +143,7 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
                      pallas_expand: bool = False,
                      exact_cull: bool = False,
                      pallas_fold: bool = False,
-                     bwd_skip_read: bool = False,
-                     fwd_only: bool = False,
+                               fwd_only: bool = False,
                      row_map=None, row_cumown=None,
                      col0_map=None, col1_map=None) -> RenderOutput:
     """``row_phase`` (traced ok) / ``row_stride`` (static): render only the
@@ -187,7 +183,6 @@ def render_projected(proj: Projected, width: int, height: int, bg: jnp.ndarray,
             pallas_expand=pallas_expand,
             exact_cull=exact_cull,
             pallas_fold=pallas_fold,
-            bwd_skip_read=bwd_skip_read,
             fwd_only=fwd_only,
             row_map=row_map, row_cumown=row_cumown,
             col0_map=col0_map, col1_map=col1_map)

@@ -124,9 +124,7 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    exact_cull=getattr(
                                        raster, "exact_cull", False),
                                    pallas_fold=getattr(
-                                       raster, "pallas_fold", False),
-                                   bwd_skip_read=getattr(
-                                       raster, "bwd_skip_read", False))
+                                       raster, "pallas_fold", False))
         elif mesh is not None:
             masked = mask_sh_rest(params, active_sh_degree)
             from ..parallel.render_mc import render_multichip
@@ -161,9 +159,7 @@ def make_train_step(opt: OptimizationConfig, model_cfg: ModelConfig,
                                    exact_cull=getattr(
                                        raster, "exact_cull", False),
                                    pallas_fold=getattr(
-                                       raster, "pallas_fold", False),
-                                   bwd_skip_read=getattr(
-                                       raster, "bwd_skip_read", False))
+                                       raster, "pallas_fold", False))
         image = out.image
         if use_exposure:
             image = apply_exposure(image, exposure_row)

@@ -66,9 +66,9 @@ def main():
     feats_np = np.zeros((NFEAT, D), np.float32)
     feats_np[0] = rng.uniform(0, W, D)
     feats_np[1] = rng.uniform(0, H, D)
-    feats_np[2] = rng.uniform(0.01, 0.2, D)
+    feats_np[2] = rng.uniform(0.05, 0.2, D)
     feats_np[3] = rng.uniform(-0.02, 0.02, D)
-    feats_np[4] = rng.uniform(0.01, 0.2, D)
+    feats_np[4] = rng.uniform(0.05, 0.2, D)
     feats_np[5] = rng.uniform(0.05, 0.9, D)
     feats_np[6:10] = rng.uniform(0, 1, (4, D))
     feats = jnp.asarray(feats_np)

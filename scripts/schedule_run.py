@@ -73,6 +73,14 @@ def main():
     ap.add_argument("--initial_capacity", type=int, default=1 << 15)
     ap.add_argument("--dup_capacity", type=int, default=1 << 20)
     ap.add_argument("--max_per_tile", type=int, default=4096)
+    ap.add_argument("--densify_grad_threshold", type=float, default=0.0,
+                    help="0 = auto: 1e-4 scaled by sqrt(pixels/160*120). "
+                    "r4's fixed 1e-4 (tuned at 160x120) over-densified "
+                    "4x at 320x240 — 584k splats for a 1.2k-splat GT "
+                    "scene, test PSNR 29.6 -> 24.2 (SCHEDULE_RUN_r4); "
+                    "mean |dL/dmean2d| shrinks ~1/sqrt(px) at fixed "
+                    "scene scale, so the reference's 2e-4 at ~1 Mpx "
+                    "maps to ~2e-4 here (ref arguments/__init__.py:87)")
     ap.add_argument("--out", default="SCHEDULE_RUN.json")
     args = ap.parse_args()
 
@@ -135,11 +143,14 @@ def main():
     # reset_interval=0 disables resets entirely (the reference has no such
     # mode; this is an ablation knob for the decay study, VERDICT r2 #7)
     reset_interval = args.reset_interval or (10 * args.iters)
+    gthr = args.densify_grad_threshold or (
+        1e-4 * math.sqrt(W * H / (160.0 * 120.0)))
+    print(f"densify_grad_threshold: {gthr:.2e} at {W}x{H}", flush=True)
     opt = OptimizationConfig(
         iterations=args.iters, position_lr_max_steps=args.iters,
         densify_from_iter=500, densify_until_iter=args.iters * 4 // 7,
         densification_interval=100, opacity_reset_interval=reset_interval,
-        densify_grad_threshold=1e-4)   # reduced-scale gradients are smaller
+        densify_grad_threshold=gthr)
     raster = RasterConfig(backend="auto", dup_capacity=args.dup_capacity,
                           max_per_tile=args.max_per_tile, chunk=64)
     tr = Trainer(train_cams, (pts, cols, np.zeros_like(pts)),
