@@ -81,7 +81,12 @@ if os.environ.get("GS_BENCH_N"):
     N_GAUSS = int(os.environ["GS_BENCH_N"])
 CS = 128            # kernel chunk size (ops/rasterize_pallas.CS)
 PEAK_BF16_FLOPS = 197e12   # v5e MXU peak; MFU is reported on this basis
-SCAN_STEPS = 4      # steps per dispatch (production --block_scan shape)
+SCAN_STEPS = int(os.environ.get("GS_BENCH_SCAN_STEPS", "4"))
+# steps per dispatch. NOTE the production block dispatch has been "chain"
+# (host-chained single-step dispatches) since end-r4 — perf_r5k found the
+# 4-step lax.scan block carries a ~50 ms/step while-loop context tax that
+# chain dispatch does not pay; see measure_scene for the headline's
+# dispatch mode.
 # CPU smoke: pallas must run in interpret mode off-TPU
 BACKEND = "pallas_interpret" if os.environ.get("GS_BENCH_INTERPRET") else "pallas"
 

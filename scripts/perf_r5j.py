@@ -8,6 +8,12 @@ bytes: the 12-op binning sort becomes 7 ops and the 11-op fold sort 6.
 jax.lax.complex/real/imag are pure packing (values, not bitcasts — no
 denormal hazard), and sort only permutes values.
 
+ROUND-5 CORRECTION: the first version of this probe summed only ONE
+sorted output, letting XLA DCE the other operands out of the sort — it
+measured a 3-op sort (6.3/3.8 ms) and briefly "refuted" the r4
+calibration. All outputs are now consumed; the honest numbers agree with
+the in-context bisection (perf_r5m: 12-op sort 28.7 ms).
+
 Probes at the bench tier (D=3.072M):
   f32x12  — (key, gid) + 10 f32 payload (the production binning sort)
   c64x7   — (key, gid) + 5 c64 payload columns
@@ -67,7 +73,9 @@ def main():
     def f32x12(s, key, gid, cols):
         ops = jax.lax.sort((key + s * 0,) + (gid,) + tuple(cols),
                            dimension=0, is_stable=True, num_keys=1)
-        return s + 1 + (jnp.sum(ops[2]) * 1e-30).astype(jnp.int32)
+        tot = (sum(jnp.sum(o) for o in ops[2:])
+               + jnp.sum(ops[0] + ops[1]).astype(jnp.float32))
+        return s + 1 + (tot * 1e-30).astype(jnp.int32)
 
     def c64x7(s, key, gid, cols):
         packed = tuple(jax.lax.complex(cols[2 * i], cols[2 * i + 1])
@@ -81,7 +89,9 @@ def main():
     def f32x11(s, gid, cols):
         ops = jax.lax.sort((gid + s * 0,) + tuple(cols),
                            dimension=0, is_stable=False, num_keys=1)
-        return s + 1 + (jnp.sum(ops[1]) * 1e-30).astype(jnp.int32)
+        tot = (sum(jnp.sum(o) for o in ops[1:])
+               + jnp.sum(ops[0]).astype(jnp.float32))
+        return s + 1 + (tot * 1e-30).astype(jnp.int32)
 
     def c64x6(s, gid, cols):
         packed = tuple(jax.lax.complex(cols[2 * i], cols[2 * i + 1])
