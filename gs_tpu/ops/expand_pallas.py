@@ -41,7 +41,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 16      # field rows (8-aligned for Mosaic HBM slicing)
-BLOCK = 512    # output entries per grid program
+import os as _os
+BLOCK = int(_os.environ.get("GS_EXPAND_BLOCK", "256"))
+# output entries per grid program. The one-hot mask is [BLOCK, GWIN] and
+# GWIN grows with BLOCK, so the per-entry one-hot compare cost scales
+# ~(BLOCK+128)/BLOCK x: 256 measured 9.4 ms in-context vs 11.5 at 512,
+# 128 regresses on grid overhead (perf_r5n, r5) — the VPU compares, not
+# the MXU passes, dominate.
 GWIN = BLOCK + 128   # source window: <= BLOCK distinct gaussians + 128
                      # lanes of align-down slack
 

@@ -173,14 +173,18 @@ def main():
         print(f"  [{label}] {d*1e3:.1f} ms  spread={spread}", flush=True)
         return d
 
+    sel = os.environ.get("GS_R5M_STAGES")
+    stages = ((0, "b0 pre-expansion"), (1, "b1 +pallas expand"),
+              (2, "b2 +entry math/cull"), (3, "b3 +tile sort"),
+              (4, "b4 +ranges (full)"))
+    if sel:
+        want = {int(x) for x in sel.split(",")}
+        stages = tuple(st for st in stages if st[0] in want)
     ts = []
-    for u, lab in ((0, "b0 pre-expansion"), (1, "b1 +pallas expand"),
-                   (2, "b2 +entry math/cull"), (3, "b3 +tile sort"),
-                   (4, "b4 +ranges (full)")):
+    for u, lab in stages:
         ts.append(slope(stage(u), lab))
     d = [1e3 * (b - a) for a, b in zip(ts, ts[1:])]
-    print(f"deltas: expand {d[0]:.1f} | entrymath {d[1]:.1f} | "
-          f"sort {d[2]:.1f} | ranges {d[3]:.1f}", flush=True)
+    print("deltas:", [round(x, 1) for x in d], flush=True)
 
 
 if __name__ == "__main__":
